@@ -1,0 +1,90 @@
+"""2D convolutional LSTM — behavioral twin of the reference's temporal core.
+
+Kept alongside the LIF bottleneck for A/B comparison, selected via the
+reference's ``model.use_conv_lstm`` flag (reference: config.yaml:32). Cell
+math matches reference model.py:50-71: a single conv over [x; h] producing
+4*hidden gates (i, f, g, o), zero-initialized state on the first step.
+
+Unlike the feedforward spiking blocks this layer has a true conv inside the
+recurrence, so it runs under ``lax.scan`` over time (the conv cannot be
+time-batched). It sits only at the U-Net bottleneck (smallest spatial
+resolution), so the serial cost is negligible. The gate conv is declared as
+an explicit parameter and applied with ``lax.conv_general_dilated`` so the
+scan body stays a pure function (no flax module calls inside the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvLSTM2d(nn.Module):
+    """Scan a ConvLSTM over a (T, B, H, W, C) time-major input.
+
+    Returns (h_t (T,B,H,W,hidden), (h_final, c_final)). Gate math runs in
+    fp32: the recurrent state compounds across timesteps and low-precision
+    drift would accumulate.
+    """
+
+    hidden: int
+    kernel: int = 3
+    dtype: Any = jnp.bfloat16  # conv compute dtype; state stays fp32
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray, state: tuple | None = None):
+        in_ch = x_t.shape[-1]
+        b, h, w = x_t.shape[1], x_t.shape[2], x_t.shape[3]
+        if state is None:
+            shape = (b, h, w, self.hidden)
+            state = (
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+            )
+
+        kernel = self.param(
+            "gates_kernel",
+            nn.initializers.xavier_uniform(),
+            (self.kernel, self.kernel, in_ch + self.hidden, 4 * self.hidden),
+            jnp.float32,
+        )
+        # Forget-gate bias = 1 (reference init recipe,
+        # weight_initialization.py:49-56): gate order is (i, f, g, o).
+        def _bias_init(key, shape, dtype):
+            bias = jnp.zeros(shape, dtype)
+            return bias.at[self.hidden : 2 * self.hidden].set(1.0)
+
+        bias = self.param("gates_bias", _bias_init, (4 * self.hidden,), jnp.float32)
+
+        dn = jax.lax.conv_dimension_numbers(
+            (b, h, w, in_ch + self.hidden),
+            kernel.shape,
+            ("NHWC", "HWIO", "NHWC"),
+        )
+        pad = self.kernel // 2
+        compute_dtype = self.dtype
+
+        def step(carry, x):
+            h_state, c_state = carry
+            xh = jnp.concatenate(
+                [x.astype(compute_dtype), h_state.astype(compute_dtype)], axis=-1
+            )
+            gates = jax.lax.conv_general_dilated(
+                xh,
+                kernel.astype(compute_dtype),
+                window_strides=(1, 1),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            gates = gates.astype(jnp.float32) + bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_next = jax.nn.sigmoid(f) * c_state + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
+            return (h_next, c_next), h_next
+
+        (h_final, c_final), h_seq = jax.lax.scan(step, state, x_t)
+        return h_seq, (h_final, c_final)

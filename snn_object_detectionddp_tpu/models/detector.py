@@ -1,0 +1,129 @@
+"""Top-level spiking temporal detector.
+
+Composes SpikingBackbone -> TemporalUNet -> DetectHead, the TPU-native
+counterpart of the reference's YOLOTemporalUNet (frozen YOLO extractor ->
+ConvLSTM U-Net -> ultralytics Detect; reference: model.py:148-211).
+
+API shape
+---------
+The reference processes one frame at a time with the caller owning the
+temporal loop (``model(frame, hidden) -> (dets, hidden)``,
+reference: model.py:197-211, train.py:64-66). Here the *window* is the unit:
+
+    raw_maps, state = model.apply(params, frames_t, state)
+
+with ``frames_t`` time-major (T, B, H, W, 3). Streaming per-frame inference
+is the T=1 special case carrying ``state`` — tested equivalent to one
+T-length call (scan-vs-loop equivalence, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from .backbone import SpikingBackbone, preset_channels
+from .detect import DetectHead, decode_predictions
+from .lif import LIFParams
+from .unet import TemporalUNet
+
+
+class SNNTemporalDetector(nn.Module):
+    """(T, B, H, W, 3) frames -> 3 raw detection maps (last timestep) + state."""
+
+    num_classes: int
+    reg_max: int = 16
+    lif: LIFParams = LIFParams()
+    backbone_channels: tuple[int, ...] = (48, 128, 256, 512)
+    backbone_depth: int = 1
+    unet_base: int = 128
+    bottleneck: str = "convlstm"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frames_t: jnp.ndarray, state: dict | None = None):
+        state = state or {}
+        feats, bstate = SpikingBackbone(
+            lif=self.lif,
+            channels=self.backbone_channels,
+            depth=self.backbone_depth,
+            dtype=self.dtype,
+            name="backbone",
+        )(frames_t, state.get("backbone"))
+        refined, ustate = TemporalUNet(
+            lif=self.lif,
+            base=self.unet_base,
+            bottleneck=self.bottleneck,
+            dtype=self.dtype,
+            name="unet",
+        )(feats, state.get("unet"))
+        raw_maps = DetectHead(
+            num_classes=self.num_classes,
+            reg_max=self.reg_max,
+            dtype=self.dtype,
+            name="head",
+        )(list(refined))
+        return raw_maps, {"backbone": bstate, "unet": ustate}
+
+
+@dataclass
+class Detector:
+    """Config-bound convenience wrapper around the linen module."""
+
+    module: SNNTemporalDetector
+    cfg: Config
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "Detector":
+        chans, depth = preset_channels(
+            cfg.model.yolo_model_name, cfg.model.width_mult
+        )
+        lif = LIFParams(
+            threshold=cfg.model.spike.threshold,
+            decay=cfg.model.spike.decay,
+            surrogate_slope=cfg.model.spike.surrogate_slope,
+            reset=cfg.model.spike.reset,
+        )
+        bottleneck = (
+            cfg.model.bottleneck
+            if cfg.model.bottleneck in ("convlstm", "lif")
+            else ("convlstm" if cfg.model.use_conv_lstm else "lif")
+        )
+        dtype = jnp.bfloat16 if cfg.runtime.precision == "bf16" else jnp.float32
+        module = SNNTemporalDetector(
+            num_classes=cfg.model.num_classes,
+            reg_max=cfg.model.hyp.reg_max,
+            lif=lif,
+            backbone_channels=chans,
+            backbone_depth=depth,
+            unet_base=int(cfg.model.width_mult * 128),
+            bottleneck=bottleneck,
+            dtype=dtype,
+        )
+        return cls(module=module, cfg=cfg)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array, sample_frames: jnp.ndarray | None = None):
+        """Initialize parameters from a (T, B, H, W, 3) sample (tiny dummy
+        by default; conv params are shape-independent of H/W)."""
+        if sample_frames is None:
+            h, w = self.cfg.model.image_size
+            # Init with a small spatial size: parameter shapes don't depend
+            # on H/W, and this keeps init fast on host.
+            h, w = min(h, 128), min(w, 128)
+            sample_frames = jnp.zeros((1, 1, h, w, 3), jnp.float32)
+        return self.module.init(rng, sample_frames)["params"]
+
+    def apply(self, params, frames_t: jnp.ndarray, state: dict | None = None):
+        return self.module.apply({"params": params}, frames_t, state)
+
+    def decode(self, raw_maps):
+        """Raw maps -> (boxes_xyxy pixels, class scores) for NMS."""
+        return decode_predictions(
+            raw_maps, self.cfg.model.hyp.reg_max, self.cfg.model.num_classes
+        )

@@ -1,0 +1,179 @@
+"""Building-block layers for the spiking temporal detector.
+
+TPU-first design notes
+----------------------
+- Layout is NHWC throughout; time-major tensors are (T, B, H, W, C).
+- Spiking blocks run *layer-major time-batched*: each conv is applied to all
+  T timesteps at once as one (T*B, H, W, C) batch (big MXU matmuls), and only
+  the cheap elementwise LIF membrane update is sequential in time
+  (``lif_scan``, later fused into a Pallas kernel). This is mathematically
+  identical to the reference's frame-by-frame Python loop
+  (reference: train.py:64-66) because convolutions carry no temporal state.
+- Convs compute in bfloat16 (params fp32); normalization and membrane
+  dynamics run in fp32 for stability.
+- Normalization is GroupNorm, not the reference's BatchNorm
+  (reference: model.py:14): BN statistics leak across the time-batched axis
+  and across data-parallel shards. Documented behavioral delta (SURVEY §7).
+
+Reference counterparts: ConvBlock model.py:9-18, DownBlock :20-30,
+UpBlock :32-48.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .lif import LIFParams, lif_scan
+
+
+def _num_groups(channels: int) -> int:
+    """Largest group count <= 32 that divides ``channels``."""
+    for g in (32, 16, 8, 4, 2, 1):
+        if channels % g == 0:
+            return g
+    return 1
+
+
+def membrane_readout(
+    spikes_t: jnp.ndarray, v_final: jnp.ndarray, p: LIFParams
+) -> jnp.ndarray:
+    """Continuous readout of a spiking block: last-step pre-reset membrane.
+
+    With soft reset, v_pre = v_post + s * threshold exactly. The decoder and
+    skip connections consume this instead of binary spikes so detection
+    regression sees a continuous, history-integrating signal (the SNN
+    analogue of the reference's ConvLSTM hidden state feeding the decoder,
+    reference: model.py:131-146).
+    """
+    return v_final + spikes_t[-1] * p.threshold
+
+
+class SpikingConvBlock(nn.Module):
+    """Conv -> GroupNorm -> LIF over a (T, B, H, W, C) time-major tensor.
+
+    Returns (spikes (T,B,H,W,Cout) in compute dtype, v_final (B,H,W,Cout)
+    fp32 membrane). Pass ``v0`` to continue a streaming sequence.
+    """
+
+    features: int
+    lif: LIFParams
+    stride: int = 1
+    kernel: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray, v0: jnp.ndarray | None = None):
+        t, b = x_t.shape[:2]
+        x = x_t.reshape((t * b,) + x_t.shape[2:]).astype(self.dtype)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = nn.GroupNorm(
+            num_groups=_num_groups(self.features),
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        x = x.reshape((t, b) + x.shape[1:])
+        spikes, v_final = lif_scan(x.astype(jnp.float32), self.lif, v0)
+        return spikes.astype(self.dtype), v_final
+
+
+class SpikingDownBlock(nn.Module):
+    """Stride-2 spiking block + stride-1 spiking block (2x downsample).
+
+    Reference counterpart: DownBlock, model.py:20-30.
+    State is a dict {'conv1': v, 'conv2': v}.
+    """
+
+    features: int
+    lif: LIFParams
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray, state: dict | None = None):
+        state = state or {}
+        s1, v1 = SpikingConvBlock(
+            self.features, self.lif, stride=2, dtype=self.dtype, name="conv1"
+        )(x_t, state.get("conv1"))
+        s2, v2 = SpikingConvBlock(
+            self.features, self.lif, stride=1, dtype=self.dtype, name="conv2"
+        )(s1, state.get("conv2"))
+        return s2, {"conv1": v1, "conv2": v2}
+
+
+class ConvBlock(nn.Module):
+    """Non-spiking Conv -> GroupNorm -> SiLU on a (B, H, W, C) tensor.
+
+    Used in the decoder / head stem, which run once on the final timestep
+    (the reference computes its loss on the last frame only,
+    reference: train.py:64-75). Reference counterpart: ConvBlock,
+    model.py:9-18 (BatchNorm -> GroupNorm delta documented above).
+    """
+
+    features: int
+    stride: int = 1
+    kernel: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(),
+        )(x.astype(self.dtype))
+        x = nn.GroupNorm(
+            num_groups=_num_groups(self.features),
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return nn.silu(x).astype(self.dtype)
+
+
+class UpBlock(nn.Module):
+    """2x transposed-conv upsample, concat skip, two ConvBlocks.
+
+    Mirrors the reference UpBlock (model.py:32-48) including the bilinear
+    resize of the skip when spatial shapes mismatch (odd sizes after
+    repeated stride-2 downsampling of 480-px inputs).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        up_ch = x.shape[-1] // 2
+        x = nn.ConvTranspose(
+            up_ch,
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x.astype(self.dtype))
+        if x.shape[1:3] != skip.shape[1:3]:
+            skip = jax.image.resize(
+                skip,
+                skip.shape[:1] + x.shape[1:3] + skip.shape[3:],
+                method="bilinear",
+            )
+        x = jnp.concatenate([skip.astype(self.dtype), x], axis=-1)
+        x = ConvBlock(self.features, dtype=self.dtype, name="conv1")(x)
+        x = ConvBlock(self.features, dtype=self.dtype, name="conv2")(x)
+        return x

@@ -1,0 +1,116 @@
+"""Leaky integrate-and-fire (LIF) neurons with surrogate-gradient BPTT.
+
+This is the SNN realization of the reference's temporal recurrence (a
+ConvLSTM hidden state carried across a frame window, reference:
+model.py:50-71, train.py:64-66), per the rebuild north star: membrane
+potential is the carried state, the spike nonlinearity is a Heaviside step
+whose backward pass uses the SuperSpike fast-sigmoid surrogate
+(Zenke & Ganguli; see PAPERS.md "Surrogate Gradient Learning in Spiking
+Neural Networks"), wired in with ``jax.custom_vjp`` so ``lax.scan``'s native
+reverse-mode gives BPTT through time for free.
+
+Dynamics (per timestep, soft reset):
+    v' = decay * v + x
+    s  = H(v' - threshold)
+    v  = v' - s * threshold
+
+All functions are shape-polymorphic and jit/vmap/scan friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LIFParams(NamedTuple):
+    """Static LIF neuron constants (config: model.spike)."""
+
+    threshold: float = 1.0
+    decay: float = 0.5
+    surrogate_slope: float = 4.0
+    reset: str = "soft"  # "soft" | "hard"
+
+
+# ---------------------------------------------------------------------------
+# Spike nonlinearity with surrogate derivative
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def spike(v_shifted: jnp.ndarray, slope: float = 4.0) -> jnp.ndarray:
+    """Heaviside step H(v - theta) with a SuperSpike surrogate gradient.
+
+    Forward: 1.0 where ``v_shifted >= 0`` else 0.0.
+    Backward: dS/dv = 1 / (slope * |v| + 1)^2.
+    """
+    return (v_shifted >= 0).astype(v_shifted.dtype)
+
+
+def _spike_fwd(v_shifted, slope):
+    return spike(v_shifted, slope), v_shifted
+
+
+def _spike_bwd(slope, v_shifted, g):
+    surrogate = 1.0 / jnp.square(slope * jnp.abs(v_shifted) + 1.0)
+    return (g * surrogate,)
+
+
+spike.defvjp(_spike_fwd, _spike_bwd)
+
+
+def surrogate_grad(v_shifted: jnp.ndarray, slope: float) -> jnp.ndarray:
+    """The surrogate derivative itself (used by the Pallas backward kernel)."""
+    return 1.0 / jnp.square(slope * jnp.abs(v_shifted) + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# LIF dynamics
+# ---------------------------------------------------------------------------
+
+
+def lif_step(
+    v: jnp.ndarray, x: jnp.ndarray, p: LIFParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One membrane update. Returns (spikes, v_next). ``x`` is the synaptic
+    current (e.g. a conv output) with the same shape as ``v``."""
+    v_pre = p.decay * v + x
+    s = spike(v_pre - p.threshold, p.surrogate_slope)
+    if p.reset == "soft":
+        v_next = v_pre - s * p.threshold
+    else:  # hard reset to zero
+        v_next = v_pre * (1.0 - s)
+    return s, v_next
+
+
+def lif_scan(
+    x_t: jnp.ndarray,
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run LIF dynamics over a leading time axis via ``lax.scan``.
+
+    This is the XLA reference path for the fused Pallas kernel
+    (kernels/lif_pallas.py); the two are tested for equivalence.
+
+    Args:
+      x_t: (T, ...) pre-activation currents for every timestep.
+      v0:  (...) initial membrane, zeros when None (matching the reference's
+           zero-init hidden state, reference: model.py:60-62).
+
+    Returns:
+      spikes (T, ...) and the final membrane (...,).
+    """
+    if v0 is None:
+        v0 = jnp.zeros(x_t.shape[1:], dtype=x_t.dtype)
+
+    def body(v, x):
+        s, v_next = lif_step(v, x, p)
+        return v_next, s
+
+    v_final, spikes = jax.lax.scan(body, v0, x_t, unroll=unroll)
+    return spikes, v_final

@@ -1,0 +1,1 @@
+from . import anchors, boxes, nms  # noqa: F401

@@ -1,0 +1,129 @@
+"""Fixed-shape non-maximum suppression in pure JAX.
+
+Replaces ultralytics ``ops.non_max_suppression`` at the reference's two call
+sites (reference: eval_2.py:108-112 conf=0.001/iou=0.6/max_det=300, and
+visualize.py:73-78 conf=0.3/iou=0.45/multi_label=True). Everything is static
+shape so the whole post-processing stage jits and runs on TPU: candidates are
+top-k selected, suppression is a sequential pass over a precomputed IoU
+matrix, and outputs are padded to ``max_det`` with a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+
+# Class-offset used for class-aware suppression (larger than any image dim).
+_CLS_OFFSET = 7680.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "multi_label"),
+)
+def non_max_suppression(
+    boxes_xyxy: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    multi_label: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Single-image fixed-shape NMS.
+
+    Args:
+      boxes_xyxy: (A, 4) decoded boxes in pixels.
+      class_scores: (A, nc) per-class confidences in [0, 1].
+      multi_label: if True a box may be emitted once per class above
+        threshold (reference: visualize.py:76); otherwise argmax class only.
+
+    Returns dict with fixed shapes:
+      boxes (max_det, 4), scores (max_det,), classes (max_det,) int32,
+      valid (max_det,) bool. Invalid slots have score 0 and class -1.
+    """
+    num_anchors, nc = class_scores.shape
+
+    if multi_label:
+        flat_scores = class_scores.reshape(-1)  # (A*nc,)
+        cand_cls = jnp.tile(jnp.arange(nc, dtype=jnp.int32), (num_anchors,))
+        cand_box_idx = jnp.repeat(
+            jnp.arange(num_anchors, dtype=jnp.int32), nc
+        )
+    else:
+        flat_scores = jnp.max(class_scores, axis=-1)  # (A,)
+        cand_cls = jnp.argmax(class_scores, axis=-1).astype(jnp.int32)
+        cand_box_idx = jnp.arange(num_anchors, dtype=jnp.int32)
+
+    conf_mask = flat_scores >= conf_thres
+    masked_scores = jnp.where(conf_mask, flat_scores, -1.0)
+
+    # Pre-NMS candidate pool: a few times max_det so that suppression does
+    # not starve the output (ultralytics keeps up to 30k; 4x max_det is
+    # ample at DSEC scale and keeps the IoU matrix small).
+    k = min(4 * max_det, masked_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_cls = cand_cls[top_idx]
+    top_boxes = boxes_xyxy[cand_box_idx[top_idx]]
+    top_valid = top_scores > 0.0
+
+    # Class-aware suppression via per-class coordinate offsets.
+    offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * _CLS_OFFSET)[
+        :, None
+    ]
+    iou = pairwise_iou(offset_boxes, offset_boxes)  # (k, k)
+
+    order = jnp.arange(k)
+
+    def body(i, keep):
+        row_active = keep[i] & top_valid[i]
+        suppress = row_active & (iou[i] > iou_thres) & (order > i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))
+    keep = keep & top_valid
+
+    scores = jnp.where(keep, top_scores, 0.0)
+    classes = jnp.where(keep, top_cls, -1)
+    boxes = jnp.where(keep[:, None], top_boxes, 0.0)
+
+    # Keep the top max_det survivors (scores of suppressed slots are 0).
+    k_out = min(max_det, k)
+    sort_scores, sort_idx = jax.lax.top_k(scores, k_out)
+    out = {
+        "boxes": boxes[sort_idx],
+        "scores": sort_scores,
+        "classes": classes[sort_idx],
+        "valid": keep[sort_idx],
+    }
+    if k_out < max_det:
+        pad = max_det - k_out
+        out = {
+            "boxes": jnp.pad(out["boxes"], ((0, pad), (0, 0))),
+            "scores": jnp.pad(out["scores"], (0, pad)),
+            "classes": jnp.pad(out["classes"], (0, pad), constant_values=-1),
+            "valid": jnp.pad(out["valid"], (0, pad)),
+        }
+    return out
+
+
+def batched_nms(
+    boxes_xyxy: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    multi_label: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """vmap of :func:`non_max_suppression` over a leading batch axis."""
+    fn = partial(
+        non_max_suppression,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        multi_label=multi_label,
+    )
+    return jax.vmap(fn)(boxes_xyxy, class_scores)
