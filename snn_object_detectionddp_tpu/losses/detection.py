@@ -1,0 +1,153 @@
+"""YOLOv8-style detection loss: TAL assignment + CIoU + BCE + DFL.
+
+In-repo, fixed-shape replacement of the ultralytics ``v8DetectionLoss`` the
+reference trains with (reference: train.py:5,68-76,155). Component gains
+come from the config hyp block (box 7.5 / cls 1.0 / dfl 2.5 / reg_max 16,
+reference: config.yaml:33-37); the scalar training loss is
+``(box + cls + dfl) * batch_size`` and the detached 3-vector matches the
+reference's per-component logging schema (train.py:89-98).
+
+Label contract: targets arrive padded — (B, M, 5) rows
+``[class, cx, cy, w, h]`` normalized to [0, 1] plus a (B, M) validity mask —
+the fixed-shape form of the reference's ragged (sum N, 6) collate
+(reference: train.py:10-44).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.detect import dfl_expectation, flatten_predictions
+from ..ops.anchors import bbox2dist, dist2bbox
+from ..ops.boxes import ciou, cxcywh_to_xyxy
+from .tal import task_aligned_assign
+
+
+class LossComponents(NamedTuple):
+    total: jnp.ndarray  # scalar: (box + cls + dfl) * batch_size
+    box: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+    @property
+    def vec3(self) -> jnp.ndarray:
+        return jnp.stack([self.box, self.cls, self.dfl])
+
+
+def _dfl_loss(
+    pred_dist: jnp.ndarray,  # (B, A, 4, reg_max) logits
+    target_ltrb: jnp.ndarray,  # (B, A, 4) in [0, reg_max-1)
+) -> jnp.ndarray:
+    """Distribution focal loss per anchor: cross-entropy against the two
+    integer bins bracketing each target distance. -> (B, A)."""
+    tl = jnp.floor(target_ltrb)
+    tr = tl + 1.0
+    wl = tr - target_ltrb
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)  # (B, A, 4, reg_max)
+    reg_max = pred_dist.shape[-1]
+    onehot_l = jax.nn.one_hot(tl.astype(jnp.int32), reg_max, dtype=logp.dtype)
+    onehot_r = jax.nn.one_hot(tr.astype(jnp.int32), reg_max, dtype=logp.dtype)
+    ce_l = -jnp.sum(logp * onehot_l, axis=-1)  # (B, A, 4)
+    ce_r = -jnp.sum(logp * onehot_r, axis=-1)
+    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1)  # (B, A)
+
+
+def detection_loss(
+    raw_maps: list[jnp.ndarray],
+    labels: jnp.ndarray,  # (B, M, 5) [cls, cx, cy, w, h] normalized
+    label_mask: jnp.ndarray,  # (B, M) bool
+    num_classes: int,
+    reg_max: int = 16,
+    gain_box: float = 7.5,
+    gain_cls: float = 1.0,
+    gain_dfl: float = 2.5,
+) -> LossComponents:
+    batch = raw_maps[0].shape[0]
+    box_logits, cls_logits, anchor_points, stride_t = flatten_predictions(
+        raw_maps, reg_max, num_classes
+    )
+    box_logits = box_logits.astype(jnp.float32)
+    cls_logits = cls_logits.astype(jnp.float32)
+
+    # Image size implied by the P3 map (stride 8), matching how ultralytics
+    # derives imgsz from feats inside the loss.
+    img_h = raw_maps[0].shape[1] * 8
+    img_w = raw_maps[0].shape[2] * 8
+
+    # Decode predictions to grid-unit xyxy.
+    pred_dist = box_logits.reshape(box_logits.shape[:-1] + (4, reg_max))
+    pred_ltrb = dfl_expectation(box_logits, reg_max)  # (B, A, 4)
+    pred_bboxes = dist2bbox(pred_ltrb, anchor_points)  # grid units
+
+    # Ground truth to pixel xyxy.
+    gt_labels = labels[..., 0].astype(jnp.int32)
+    gt_cxcywh = labels[..., 1:] * jnp.asarray(
+        [img_w, img_h, img_w, img_h], dtype=jnp.float32
+    )
+    gt_bboxes = cxcywh_to_xyxy(gt_cxcywh)
+    mask_gt = label_mask & (jnp.sum(gt_cxcywh[..., 2:], axis=-1) > 0)
+
+    pd_scores = jax.nn.sigmoid(cls_logits)
+    assign = task_aligned_assign(
+        pd_scores,
+        jax.lax.stop_gradient(pred_bboxes) * stride_t,  # pixels
+        anchor_points * stride_t,  # pixels
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+    )
+
+    target_scores_sum = jnp.maximum(jnp.sum(assign.target_scores), 1.0)
+
+    # --- Classification: BCE-with-logits against soft targets -------------
+    bce = optax_sigmoid_bce(cls_logits, assign.target_scores)
+    loss_cls = jnp.sum(bce) / target_scores_sum
+
+    # --- Box regression: CIoU on foreground anchors ------------------------
+    target_bboxes_grid = assign.target_bboxes / stride_t  # grid units
+    weight = jnp.sum(assign.target_scores, axis=-1) * assign.fg_mask  # (B, A)
+    iou = ciou(pred_bboxes, target_bboxes_grid)  # (B, A)
+    loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+
+    # --- DFL ----------------------------------------------------------------
+    target_ltrb = bbox2dist(target_bboxes_grid, anchor_points, reg_max)
+    dfl = _dfl_loss(pred_dist, target_ltrb)  # (B, A)
+    loss_dfl = jnp.sum(dfl * weight) / target_scores_sum
+
+    box = loss_box * gain_box
+    cls = loss_cls * gain_cls
+    dfl_c = loss_dfl * gain_dfl
+    total = (box + cls + dfl_c) * batch
+    return LossComponents(total=total, box=box, cls=cls, dfl=dfl_c)
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically stable BCE-with-logits (elementwise)."""
+    return jnp.clip(logits, 0.0, None) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+class DetectionLoss:
+    """Config-bound callable mirroring the reference's
+    ``loss_fn(preds, batch) -> (loss_vec, detached_vec)`` usage
+    (reference: train.py:68-76)."""
+
+    def __init__(self, num_classes: int, hyp: Any):
+        self.num_classes = num_classes
+        self.reg_max = hyp.reg_max
+        self.gains = (hyp.box, hyp.cls, hyp.dfl)
+
+    def __call__(self, raw_maps, labels, label_mask) -> LossComponents:
+        return detection_loss(
+            raw_maps,
+            labels,
+            label_mask,
+            self.num_classes,
+            self.reg_max,
+            *self.gains,
+        )

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_object_detectionddp_tpu.models.lif import (
+    LIFParams,
+    lif_scan,
+    lif_step,
+    spike,
+    surrogate_grad,
+)
+
+P = LIFParams(threshold=1.0, decay=0.5, surrogate_slope=4.0, reset="soft")
+
+
+def test_membrane_trace_manual():
+    # Constant input current 0.6; trace by hand:
+    # v1 = 0.6 (no spike); v2 = 0.9 (no spike); v3 = 1.05 -> spike, v = 0.05
+    x = jnp.full((3, 1), 0.6)
+    spikes, v = lif_scan(x, P)
+    np.testing.assert_allclose(np.asarray(spikes).ravel(), [0.0, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(v).ravel(), [0.05], atol=1e-6)
+
+
+def test_hard_reset():
+    p = LIFParams(threshold=1.0, decay=0.5, reset="hard")
+    x = jnp.full((3, 1), 0.6)
+    spikes, v = lif_scan(x, p)
+    np.testing.assert_allclose(np.asarray(spikes).ravel(), [0.0, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(v).ravel(), [0.0], atol=1e-6)
+
+
+def test_scan_matches_python_loop():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 2, 3).astype(np.float32))
+    spikes, v = lif_scan(x, P)
+    v_ref = jnp.zeros((2, 3))
+    outs = []
+    for t in range(5):
+        s, v_ref = lif_step(v_ref, x[t], P)
+        outs.append(s)
+    np.testing.assert_allclose(np.asarray(spikes), np.asarray(jnp.stack(outs)))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+
+
+def test_spike_forward_and_surrogate_grad():
+    v = jnp.array([-0.5, 0.0, 0.5])
+    np.testing.assert_allclose(np.asarray(spike(v, 4.0)), [0.0, 1.0, 1.0])
+    g = jax.grad(lambda u: jnp.sum(spike(u, 4.0)))(v)
+    expected = np.asarray(surrogate_grad(v, 4.0))
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
+
+
+def test_bptt_chain_through_scan():
+    """Gradient of the final membrane w.r.t. the first input must follow the
+    analytic chain (decay + reset pathway with surrogate), i.e. BPTT works
+    through lax.scan + custom_vjp."""
+    p = LIFParams(threshold=10.0, decay=0.5, surrogate_slope=4.0)  # no spikes
+
+    def readout(x):
+        _, v = lif_scan(x, p)
+        return jnp.sum(v)
+
+    x = jnp.array([[0.2], [0.3], [0.4]])
+    g = jax.grad(readout)(x)
+    # With no spikes: v3 = d^2 x1 + d x2 + x3 (+ surrogate*(-theta) terms).
+    # surrogate at v-theta ~ -10 is ~ 1/(4*10+1)^2 ~ 6e-4 -> negligible.
+    np.testing.assert_allclose(
+        np.asarray(g).ravel(), [0.25, 0.5, 1.0], atol=5e-2
+    )
+
+
+def test_spiking_path_carries_gradient():
+    """When a spike fires, upstream inputs still receive gradient through
+    the surrogate (the whole point of surrogate-gradient BPTT)."""
+
+    def loss(x):
+        s, _ = lif_scan(x, P)
+        return jnp.sum(s[-1])
+
+    x = jnp.full((4, 1), 0.6)
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).sum() > 0.0

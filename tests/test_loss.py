@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_object_detectionddp_tpu.losses.detection import detection_loss
+
+NC = 3
+REG_MAX = 8
+
+
+def _raw_maps(rng, b=2, h=8, w=8, scale=0.1):
+    """Three pyramid maps (h, h/2, h/4) with channels 4*reg_max + nc."""
+    maps = []
+    for s in (1, 2, 4):
+        maps.append(
+            jnp.asarray(
+                rng.randn(b, h // s, w // s, 4 * REG_MAX + NC).astype(np.float32)
+            )
+            * scale
+        )
+    return maps
+
+
+def test_no_labels_zero_box_dfl():
+    rng = np.random.RandomState(0)
+    maps = _raw_maps(rng)
+    labels = jnp.zeros((2, 4, 5))
+    mask = jnp.zeros((2, 4), bool)
+    out = detection_loss(maps, labels, mask, NC, REG_MAX)
+    assert float(out.box) == 0.0
+    assert float(out.dfl) == 0.0
+    assert float(out.cls) > 0.0  # background BCE
+    assert np.isfinite(float(out.total))
+
+
+def test_loss_gradient_finite():
+    rng = np.random.RandomState(1)
+    maps = _raw_maps(rng)
+    labels = jnp.array(
+        [
+            [[1.0, 0.5, 0.5, 0.4, 0.4], [0.0, 0.2, 0.2, 0.2, 0.2]],
+            [[2.0, 0.7, 0.3, 0.3, 0.3], [0.0, 0.0, 0.0, 0.0, 0.0]],
+        ]
+    )
+    mask = jnp.array([[True, True], [True, False]])
+
+    def scalar(maps):
+        return detection_loss(maps, labels, mask, NC, REG_MAX).total
+
+    loss, grads = jax.value_and_grad(scalar)(maps)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+    # Box/DFL branch must receive gradient (fg anchors exist).
+    assert sum(float(jnp.abs(g).sum()) for g in grads) > 0
+
+
+def test_gradient_descent_reduces_loss():
+    """Direct SGD on the raw maps must drive the loss down — end-to-end
+    sanity of assignment + CIoU + BCE + DFL gradients."""
+    rng = np.random.RandomState(2)
+    maps = _raw_maps(rng, b=1, scale=0.5)
+    labels = jnp.array([[[1.0, 0.5, 0.5, 0.5, 0.5]]])
+    mask = jnp.array([[True]])
+
+    @jax.jit
+    def step(maps):
+        loss, grads = jax.value_and_grad(
+            lambda ms: detection_loss(ms, labels, mask, NC, REG_MAX).total
+        )(maps)
+        return loss, [m - 0.05 * g for m, g in zip(maps, grads)]
+
+    losses = []
+    for _ in range(25):
+        loss, maps = step(maps)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # cls dominates early descent; box/dfl co-evolve with confidence
+    # (faithful to v8 loss dynamics), so expect a solid but not drastic drop.
+    assert losses[-1] < 0.7 * losses[0]
+
+
+def test_confident_background_lowers_cls_loss():
+    rng = np.random.RandomState(3)
+    maps = _raw_maps(rng, b=1, scale=0.0)  # zero logits
+    neg = [m.at[..., 4 * REG_MAX :].add(-8.0) for m in maps]
+    labels = jnp.zeros((1, 2, 5))
+    mask = jnp.zeros((1, 2), bool)
+    l_zero = float(detection_loss(maps, labels, mask, NC, REG_MAX).cls)
+    l_neg = float(detection_loss(neg, labels, mask, NC, REG_MAX).cls)
+    assert l_neg < l_zero
