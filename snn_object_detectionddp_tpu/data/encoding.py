@@ -1,0 +1,62 @@
+"""Device-side fused preprocessing: normalize, resize, spike-encode.
+
+The north-star moves the reference's per-worker CPU preprocessing
+(cv2 decode + /255.0 + permute, reference: dataset.py:138-153) onto the
+device as one jit stage feeding HBM-resident (T, B, H, W, C) batches.
+Decode stays on host (:mod:`.pipeline`); everything after the uint8 tensor
+runs here under jit, fusing into the first conv's input pipeline.
+
+Encodings (single-image SNN mode, `model.timesteps` T):
+- "direct": repeat the frame at every timestep (direct/constant-current
+  encoding — the standard high-accuracy choice; see PAPERS.md
+  "Revisiting Direct Encoding").
+- "rate": Bernoulli spikes with p = pixel intensity per timestep.
+Video mode uses the dataset's own seq_len frames as the time axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def preprocess_video(
+    images_u8: jnp.ndarray, out_hw: tuple[int, int] | None = None
+) -> jnp.ndarray:
+    """(B, T, H, W, 3) uint8 -> (T, B, H', W', 3) float32 in [0, 1].
+
+    Transposes to time-major for the model's layer-major temporal batching.
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = jnp.transpose(x, (1, 0, 2, 3, 4))  # (T, B, H, W, 3)
+    if out_hw is not None and out_hw != x.shape[2:4]:
+        t, b = x.shape[:2]
+        x = jax.image.resize(
+            x, (t, b, out_hw[0], out_hw[1], 3), method="bilinear"
+        )
+    return x
+
+
+@partial(jax.jit, static_argnames=("timesteps", "out_hw"))
+def encode_direct(
+    image_u8: jnp.ndarray, timesteps: int, out_hw: tuple[int, int] | None = None
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) float32, frame repeated T times."""
+    x = preprocess_video(image_u8[:, None], out_hw)  # (1, B, H', W', 3)
+    return jnp.tile(x, (timesteps, 1, 1, 1, 1))
+
+
+@partial(jax.jit, static_argnames=("timesteps", "out_hw"))
+def encode_rate(
+    image_u8: jnp.ndarray,
+    rng: jax.Array,
+    timesteps: int,
+    out_hw: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) Bernoulli spike trains."""
+    x = preprocess_video(image_u8[:, None], out_hw)[0]  # (B, H', W', 3)
+    u = jax.random.uniform(rng, (timesteps,) + x.shape, dtype=jnp.float32)
+    return (u < x[None]).astype(jnp.float32)
