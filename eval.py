@@ -1,0 +1,62 @@
+"""Legacy tracker benchmark entry point.
+
+Working counterpart of the reference's ``eval.py`` (whose committed form
+only runs as a script with cluster-specific paths and calls undefined
+helpers — SURVEY §2.7): benchmark detect-every-frame vs detect-every-N +
+optical-flow propagation, reporting per-sequence FPS (incl/excl retrieval)
+and blended FLOPs/frame, plus avg-IoU / precision@0.5 quality metrics when
+ground truth exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+
+from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.evals.legacy import process_dataset
+from snn_object_detectionddp_tpu.models.detector import Detector
+from snn_object_detectionddp_tpu.train.checkpoint import load_checkpoint
+from snn_object_detectionddp_tpu.train.step import init_state, make_optimizer
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument(
+        "--method",
+        default="optical_flow",
+        choices=["entire_model", "optical_flow"],
+    )
+    ap.add_argument("--stride", type=int, default=5)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--annotate", action="store_true")
+    ap.add_argument("--weights", default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    weights_path = (
+        Path(args.weights) if args.weights else Path(cfg.training.save_dir) / "best.pt"
+    )
+    if weights_path.exists():
+        tx, _ = make_optimizer(cfg.training.learning_rate, 1)
+        packed = load_checkpoint(weights_path, init_state(params, tx))
+        params = packed["state"]["params"]
+        print(f"Loaded checkpoint {weights_path}")
+    else:
+        print(f"WARNING: no checkpoint at {weights_path}; benchmarking fresh init.")
+
+    report = process_dataset(
+        cfg,
+        detector,
+        params,
+        method=args.method,
+        stride=args.stride,
+        max_frames_per_seq=args.max_frames,
+        annotate=args.annotate,
+    )
+    print(json.dumps(report["aggregate"], indent=2))

@@ -1,0 +1,46 @@
+"""Model mAP evaluation entry point.
+
+Working counterpart of the reference's ``eval_2.py`` (whose committed form
+crashes on a split-arity and checkpoint-key bug — SURVEY §2.7; this delivers
+its intent): load the best checkpoint, rebuild the seeded val split, run the
+recurrent model, NMS (conf=0.001, iou=0.6, max_det=300), and print the
+DetMetrics results_dict.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.evals.validator import evaluate_model
+from snn_object_detectionddp_tpu.models.detector import Detector
+from snn_object_detectionddp_tpu.train.checkpoint import load_checkpoint
+from snn_object_detectionddp_tpu.train.step import init_state, make_optimizer
+
+
+def evaluate(cfg, weights: str | None = None) -> dict:
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    weights_path = Path(weights) if weights else Path(cfg.training.save_dir) / "best.pt"
+    if weights_path.exists():
+        tx, _ = make_optimizer(cfg.training.learning_rate, 1)
+        template = init_state(params, tx)
+        packed = load_checkpoint(weights_path, template)
+        params = packed["state"]["params"]
+        print(f"Loaded checkpoint {weights_path} (epoch {int(packed['epoch'])})")
+    else:
+        print(f"WARNING: no checkpoint at {weights_path}; evaluating fresh init.")
+
+    return evaluate_model(cfg, detector, params)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--weights", default=None)
+    args = ap.parse_args()
+    evaluate(load_config(args.config), args.weights)

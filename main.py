@@ -1,0 +1,133 @@
+"""Entry point: config-driven train / visualize / test dispatch.
+
+Same CLI surface as the reference's ``main.py`` (reference: main.py:119-158):
+behavior selected by ``config["mode"]`` from ``config.yaml`` (an optional
+``--config PATH`` flag is added; the reference hardcodes the filename).
+
+Differences by design (TPU rebuild, SURVEY §7):
+- ``device`` is a JAX mesh instead of a CUDA string: all visible chips form
+  a 1-D data-parallel mesh; gradients all-reduce over ICI.
+- The training batch axis must tile over the mesh, so the train loader
+  drops a trailing partial batch (the val loader pads + masks instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.data.dsec import (
+    DSECIndex,
+    apply_train_debug,
+    train_val_split,
+)
+from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
+from snn_object_detectionddp_tpu.models.detector import Detector
+from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+from snn_object_detectionddp_tpu.train.checkpoint import (
+    load_checkpoint,
+    resume_or_init,
+)
+from snn_object_detectionddp_tpu.train.loop import train_loop
+from snn_object_detectionddp_tpu.train.step import (
+    init_state,
+    make_optimizer,
+    make_step_fns,
+)
+
+
+def train_code(cfg, detector: Detector) -> None:
+    save_dir = Path(cfg.training.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    index = DSECIndex(cfg, "train")
+    train_idx, val_idx = train_val_split(index, seed=cfg.training.seed)
+    train_idx, val_idx = apply_train_debug(train_idx, val_idx, cfg.debug_train)
+
+    mesh = make_mesh(cfg.mesh.data)
+    n_dev = mesh.devices.size
+    bs = cfg.training.batch_size
+    if bs % n_dev:
+        bs = -(-bs // n_dev) * n_dev
+        print(f"Rounding batch_size up to {bs} (multiple of {n_dev} devices)")
+
+    train_loader = BatchLoader(
+        index, train_idx, batch_size=bs, max_boxes=cfg.model.max_boxes,
+        shuffle=True, seed=cfg.training.seed,
+        num_threads=cfg.training.num_workers, prefetch=cfg.runtime.prefetch,
+        drop_last=True,
+    )
+    val_loader = BatchLoader(
+        index, val_idx, batch_size=bs, max_boxes=cfg.model.max_boxes,
+        shuffle=False, num_threads=cfg.training.num_workers,
+        prefetch=cfg.runtime.prefetch,
+    )
+    print(
+        f"Total samples: {len(index)}. Train: {len(train_idx)}. "
+        f"Val: {len(val_idx)}."
+    )
+
+    total_steps = len(train_loader) * cfg.training.epochs
+    tx, schedule = make_optimizer(
+        cfg.training.learning_rate,
+        total_steps,
+        weight_decay=cfg.training.weight_decay,
+        grad_clip_norm=cfg.training.grad_clip_norm,
+        pct_start=cfg.training.pct_start,
+    )
+    fns = make_step_fns(
+        detector, tx, schedule, mesh=mesh, remat=cfg.training.remat
+    )
+
+    params = detector.init_params(jax.random.PRNGKey(cfg.training.seed))
+    template_state = init_state(params, tx)
+    state, start_epoch, best = resume_or_init(cfg, template_state)
+
+    train_loop(
+        state, fns, schedule, train_loader, val_loader, cfg, save_dir,
+        start_epoch=start_epoch, best_val_loss=best, mesh=mesh,
+    )
+
+
+def visualize_code(cfg, detector: Detector) -> None:
+    from snn_object_detectionddp_tpu.viz.overlay import run_visualization
+
+    save_dir = Path(cfg.training.save_dir)
+    weights_path = save_dir / "best.pt"
+    output_dir = save_dir / "visualizations"
+    print(f"Saving visualizations to {output_dir}")
+
+    # best.pt stores the full train state; build a matching template and
+    # use only its params for inference.
+    params = detector.init_params(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(cfg.training.learning_rate, 1)
+    template = init_state(params, tx)
+    packed = load_checkpoint(weights_path, template)
+    print(
+        f"Model with val loss {float(packed['best_val_loss'])} loaded "
+        "successfully for visualization."
+    )
+    run_visualization(cfg, detector, packed["state"]["params"], output_dir)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config.yaml")
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+
+    detector = Detector.from_config(cfg)
+
+    if cfg.mode == "train":
+        train_code(cfg, detector)
+    elif cfg.mode == "visualize":
+        visualize_code(cfg, detector)
+    elif cfg.mode in ("test", "eval"):
+        # The reference leaves mode "test" unimplemented (main.py:157-158);
+        # we route it to the working mAP evaluation (eval_2 equivalent).
+        import eval_2
+
+        eval_2.evaluate(cfg)

@@ -111,6 +111,7 @@ class MeshConfig:
 class RuntimeConfig:
     precision: str = "bf16"  # compute dtype for convs/matmuls: "bf16" | "f32"
     prefetch: int = 2  # device-prefetch depth of the input pipeline
+    lif_kernel: str = "auto"  # "auto" | "pallas" | "xla" (models/lif.py)
 
 
 @dataclass
@@ -205,6 +206,8 @@ def _validate(obj) -> None:
     elif isinstance(obj, RuntimeConfig):
         if obj.precision not in ("bf16", "f32"):
             raise ValueError("runtime.precision must be 'bf16' or 'f32'")
+        if obj.lif_kernel not in ("auto", "pallas", "xla"):
+            raise ValueError("runtime.lif_kernel must be auto|pallas|xla")
 
 
 def load_config(path: str | Path = "config.yaml") -> Config:

@@ -1,0 +1,240 @@
+"""Legacy tracker benchmark: detector-every-N-frames + optical-flow
+propagation, with FPS / FLOPs instrumentation.
+
+Working counterpart of the reference's ``eval.py`` + metric utilities
+(reference: eval.py:33-191, utils.py:594-637), replacing its pretrained
+YOLO with this repo's spiking detector in streaming mode:
+
+- method "entire_model": detect every frame (reference "entire_yolo",
+  eval.py:92-96);
+- method "optical_flow": detect every ``stride`` frames, Farneback-shift
+  boxes in between (reference: eval.py:108-133);
+- per-sequence FPS including and excluding image retrieval
+  (reference: eval.py:153-157, 175-183);
+- blended FLOPs/frame = (flow_flops + n_det * model_flops) / n_frames
+  (reference: eval.py:159-165), with model FLOPs from XLA cost analysis
+  instead of torch.profiler;
+- quality: average best-IoU per detection + precision@IoU (reference
+  ``get_eval_metric_dsec``, utils.py:594-637).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import cv2
+import jax
+import numpy as np
+
+from ..data.dsec import DSECIndex
+from ..data.encoding import preprocess_video
+from ..models.detect import decode_predictions
+from ..ops.nms import batched_nms
+from .flow import get_optical_flow, update_bounding_boxes
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from .map import _iou_matrix as f
+
+    return f(a, b)
+
+
+def eval_metric_dsec(
+    detections: list[np.ndarray], gts: list[np.ndarray], iou_thresh: float = 0.5
+) -> dict:
+    """Avg best-IoU per detection + precision@iou (reference:
+    utils.py:594-637): every detection is scored by its best-overlapping gt
+    of the frame; precision is the fraction above the threshold."""
+    ious: list[float] = []
+    for det, gt in zip(detections, gts):
+        if det.size == 0:
+            continue
+        if gt.size == 0:
+            ious.extend([0.0] * len(det))
+            continue
+        m = _iou_matrix(det[:, :4], gt[:, :4])
+        ious.extend(m.max(axis=1).tolist())
+    if not ious:
+        return {"avg_iou": 0.0, "precision": 0.0, "num_detections": 0}
+    arr = np.asarray(ious)
+    return {
+        "avg_iou": float(arr.mean()),
+        "precision": float((arr >= iou_thresh).mean()),
+        "num_detections": int(arr.size),
+    }
+
+
+def model_flops(predict_fn, example_args) -> float:
+    """Static FLOPs of one jitted call via XLA cost analysis (the jax
+    equivalent of the reference's torch.profiler/model.info probes,
+    utils.py:391-405, eval.py:159)."""
+    try:
+        lowered = predict_fn.lower(*example_args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# Rough per-pixel FLOPs of Farneback flow (polynomial expansion + pyramid),
+# for the blended-FLOPs report; the reference measured its flow FLOPs with
+# torch.profiler on a learned model instead (utils.py:391-405).
+FARNEBACK_FLOPS_PER_PIXEL = 600.0
+
+
+def process_sequence(
+    detector,
+    params,
+    frame_paths: list[str],
+    method: str = "optical_flow",
+    stride: int = 5,
+    conf: float = 0.3,
+    iou: float = 0.45,
+    flow_method: str = "farneback",
+    flow_downsample: float = 0.5,
+    annotate_dir: str | None = None,
+) -> dict:
+    """Run one sequence; returns detections + timing/FLOPs stats."""
+    reg_max = detector.cfg.model.hyp.reg_max
+    nc = detector.cfg.model.num_classes
+
+    @jax.jit
+    def predict(params, image_u8, rec_state):
+        frames = preprocess_video(image_u8[:, None])  # (1, B=1, H, W, 3)
+        raw, new_state = detector.module.apply({"params": params}, frames, rec_state)
+        boxes, scores = decode_predictions(raw, reg_max, nc)
+        out = batched_nms(boxes, scores, conf_thres=conf, iou_thres=iou, max_det=100)
+        return out, new_state
+
+    detections: list[np.ndarray] = []
+    retrieval_time = 0.0
+    compute_time = 0.0
+    det_count = 0
+    flow_count = 0
+    flow_pixels = 0
+    rec_state = None
+    prev_frame = None
+    boxes = np.zeros((0, 4), np.float32)
+
+    t_total0 = time.perf_counter()
+    for f_idx, path in enumerate(frame_paths):
+        t0 = time.perf_counter()
+        frame = cv2.imread(path)
+        retrieval_time += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if method == "entire_model" or f_idx % stride == 0:
+            out, rec_state = predict(
+                params, np.asarray(frame[None, :, :, ::-1]), rec_state
+            )
+            out = jax.device_get(out)
+            valid = out["valid"][0]
+            boxes = out["boxes"][0][valid]
+            det_count += 1
+        else:
+            flow = get_optical_flow(
+                prev_frame, frame, flow_method, flow_downsample
+            )
+            boxes = update_bounding_boxes(boxes, flow)
+            flow_count += 1
+            flow_pixels += frame.shape[0] * frame.shape[1] * (flow_downsample**2)
+        compute_time += time.perf_counter() - t0
+
+        detections.append(boxes.copy())
+        prev_frame = frame
+        if annotate_dir:
+            img = frame.copy()
+            for x1, y1, x2, y2 in boxes[:, :4]:
+                cv2.rectangle(
+                    img, (int(x1), int(y1)), (int(x2), int(y2)), (0, 255, 0), 2
+                )
+            Path(annotate_dir).mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(Path(annotate_dir) / Path(path).name), img)
+
+    total_time = time.perf_counter() - t_total0
+    n = len(frame_paths)
+
+    m_flops = model_flops(predict, (params, np.zeros((1, *cv2.imread(frame_paths[0]).shape), np.uint8), rec_state)) if n else 0.0
+    flow_flops = flow_pixels * FARNEBACK_FLOPS_PER_PIXEL
+    blended = (
+        (flow_flops + det_count * m_flops) / max(det_count + flow_count, 1)
+        if n
+        else 0.0
+    )
+
+    return {
+        "detections": detections,
+        "num_frames": n,
+        "fps_incl_retrieval": n / max(total_time, 1e-9),
+        "fps_excl_retrieval": n / max(compute_time, 1e-9),
+        "retrieval_time_s": retrieval_time,
+        "compute_time_s": compute_time,
+        "model_flops": m_flops,
+        "blended_flops_per_frame": blended,
+        "det_count": det_count,
+        "flow_count": flow_count,
+    }
+
+
+def process_dataset(
+    cfg,
+    detector,
+    params,
+    method: str = "optical_flow",
+    stride: int = 5,
+    max_frames_per_seq: int | None = None,
+    annotate: bool = False,
+) -> dict:
+    """Benchmark all test sequences; returns per-sequence and aggregate
+    stats in the reference's report shape (eval.py:153-191)."""
+    index = DSECIndex(cfg, "test")
+    # Group frames per sequence dir.
+    seq_frames: dict[str, list[str]] = {}
+    for s in index.samples:
+        seq_frames.setdefault(s.image_dir, s.frame_paths[:0])
+    for d in seq_frames:
+        names = next(s for s in index.samples if s.image_dir == d).filenames
+        seq_frames[d] = [str(Path(d) / n) for n in names]
+
+    results = {}
+    for seq_dir, paths in seq_frames.items():
+        if max_frames_per_seq:
+            paths = paths[:max_frames_per_seq]
+        annotate_dir = (
+            str(Path(cfg.training.save_dir) / "annotated" / Path(seq_dir).parts[-4])
+            if annotate
+            else None
+        )
+        stats = process_sequence(
+            detector, params, paths, method=method, stride=stride,
+            annotate_dir=annotate_dir,
+        )
+        results[seq_dir] = stats
+        print(
+            f"[{Path(seq_dir).parts[-4]}] frames={stats['num_frames']} "
+            f"fps_incl={stats['fps_incl_retrieval']:.2f} "
+            f"fps_excl={stats['fps_excl_retrieval']:.2f} "
+            f"blended_gflops/frame={stats['blended_flops_per_frame'] / 1e9:.3f}"
+        )
+
+    agg = {
+        "fps_incl_retrieval": float(
+            np.mean([r["fps_incl_retrieval"] for r in results.values()])
+        )
+        if results
+        else 0.0,
+        "fps_excl_retrieval": float(
+            np.mean([r["fps_excl_retrieval"] for r in results.values()])
+        )
+        if results
+        else 0.0,
+        "blended_flops_per_frame": float(
+            np.mean([r["blended_flops_per_frame"] for r in results.values()])
+        )
+        if results
+        else 0.0,
+    }
+    return {"per_sequence": results, "aggregate": agg}

@@ -1,0 +1,100 @@
+"""Model mAP evaluation on the seeded validation split.
+
+Working equivalent of the reference's ``eval_2.py`` (its *intent* — the
+file as committed crashes on a split-arity and checkpoint-key bug,
+SURVEY §2.7): rebuild the identical seeded val split
+(reference: eval_2.py:46-58), run the recurrent forward over each window,
+NMS with conf=0.001 / iou=0.6 / max_det=300 (reference: eval_2.py:71-72,
+108-112), feed predictions + targets to the in-repo DetMetrics and print
+its results_dict (reference: eval_2.py:125-130).
+
+Decode + NMS run jitted on device; only the metric accumulation is host
+numpy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..data.dsec import DSECIndex, train_val_split
+from ..data.encoding import preprocess_video
+from ..data.pipeline import BatchLoader
+from ..models.detect import decode_predictions
+from ..ops.boxes import cxcywh_to_xyxy
+from ..ops.nms import batched_nms
+from .map import DetMetrics
+
+EVAL_CONF = 0.001
+EVAL_IOU = 0.6
+EVAL_MAX_DET = 300
+
+
+def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET,
+                    multi_label=False):
+    """(params, images_u8 (B,T,H,W,3)) -> fixed-shape NMS dict, all jitted."""
+    reg_max = detector.cfg.model.hyp.reg_max
+    nc = detector.cfg.model.num_classes
+
+    @jax.jit
+    def predict(params, images_u8):
+        frames = preprocess_video(images_u8)
+        raw_maps, _ = detector.module.apply({"params": params}, frames)
+        boxes, scores = decode_predictions(raw_maps, reg_max, nc)
+        return batched_nms(
+            boxes,
+            scores,
+            conf_thres=conf,
+            iou_thres=iou,
+            max_det=max_det,
+            multi_label=multi_label,
+        )
+
+    return predict
+
+
+def evaluate_model(cfg, detector, params, batch_size: int | None = None) -> dict:
+    """Run the full val-split evaluation; returns the results_dict."""
+    index = DSECIndex(cfg, "train")
+    _, val_idx = train_val_split(index, seed=cfg.training.seed)
+
+    bs = batch_size or cfg.training.batch_size
+    loader = BatchLoader(
+        index,
+        val_idx,
+        batch_size=bs,
+        max_boxes=cfg.model.max_boxes,
+        shuffle=False,
+        num_threads=cfg.training.num_workers,
+    )
+    predict = make_predict_fn(detector)
+    metrics = DetMetrics(cfg.model.num_classes)
+
+    from tqdm import tqdm
+
+    for batch in tqdm(loader, desc="Evaluating", total=len(loader)):
+        out = jax.device_get(predict(params, batch["images"]))
+        h, w = batch["images"].shape[2:4]
+        scale = np.array([w, h, w, h], np.float32)
+        for i in range(len(batch["paths"])):  # real samples only
+            valid = out["valid"][i]
+            lab_mask = batch["label_mask"][i]
+            gt = batch["labels"][i][lab_mask]
+            gt_boxes = np.asarray(
+                cxcywh_to_xyxy(gt[:, 1:] * scale) if gt.size else np.zeros((0, 4))
+            )
+            metrics.update(
+                pred_boxes=out["boxes"][i][valid],
+                pred_conf=out["scores"][i][valid],
+                pred_cls=out["classes"][i][valid],
+                gt_boxes=gt_boxes,
+                gt_cls=gt[:, 0] if gt.size else np.zeros(0),
+            )
+
+    results = metrics.results_dict()
+    print("\n--- Evaluation Results ---")
+    for k, v in results.items():
+        print(f"{k}: {v:.5f}")
+    return results

@@ -72,13 +72,15 @@ class ConvLSTM2d(nn.Module):
             xh = jnp.concatenate(
                 [x.astype(compute_dtype), h_state.astype(compute_dtype)], axis=-1
             )
+            # Conv runs uniformly in the compute dtype (mixed dtypes break
+            # the conv transpose rule under grad); MXU still accumulates in
+            # fp32 for bf16 inputs. Gate math upcasts to fp32 after.
             gates = jax.lax.conv_general_dilated(
                 xh,
                 kernel.astype(compute_dtype),
                 window_strides=(1, 1),
                 padding=[(pad, pad), (pad, pad)],
                 dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
             )
             gates = gates.astype(jnp.float32) + bias
             i, f, g, o = jnp.split(gates, 4, axis=-1)

@@ -94,6 +94,9 @@ class Detector:
             if cfg.model.bottleneck in ("convlstm", "lif")
             else ("convlstm" if cfg.model.use_conv_lstm else "lif")
         )
+        from .lif import set_lif_impl
+
+        set_lif_impl(cfg.runtime.lif_kernel)
         dtype = jnp.bfloat16 if cfg.runtime.precision == "bf16" else jnp.float32
         module = SNNTemporalDetector(
             num_classes=cfg.model.num_classes,

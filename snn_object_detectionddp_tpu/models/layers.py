@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .lif import LIFParams, lif_scan
+from .lif import LIFParams, run_lif
 
 
 def _num_groups(channels: int) -> int:
@@ -85,7 +85,7 @@ class SpikingConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         x = x.reshape((t, b) + x.shape[1:])
-        spikes, v_final = lif_scan(x.astype(jnp.float32), self.lif, v0)
+        spikes, v_final = run_lif(x.astype(jnp.float32), self.lif, v0)
         return spikes.astype(self.dtype), v_final
 
 

@@ -114,3 +114,37 @@ def lif_scan(
 
     v_final, spikes = jax.lax.scan(body, v0, x_t, unroll=unroll)
     return spikes, v_final
+
+
+# ---------------------------------------------------------------------------
+# Implementation dispatch: XLA scan vs fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+_LIF_IMPL = "auto"  # "auto" | "pallas" | "xla"
+
+
+def set_lif_impl(impl: str) -> None:
+    """Select the LIF execution path (config: runtime.lif_kernel).
+
+    "auto" uses the fused Pallas kernel on TPU and the XLA scan elsewhere.
+    """
+    global _LIF_IMPL
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown LIF impl '{impl}'")
+    _LIF_IMPL = impl
+
+
+def run_lif(
+    x_t: jnp.ndarray, p: LIFParams, v0: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching entry used by the model layers."""
+    impl = _LIF_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..kernels.lif_pallas import lif_scan_pallas  # lazy: avoid cycle
+
+        if v0 is None:
+            v0 = jnp.zeros(x_t.shape[1:], dtype=x_t.dtype)
+        return lif_scan_pallas(x_t, v0, p, False)
+    return lif_scan(x_t, p, v0)

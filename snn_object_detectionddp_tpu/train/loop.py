@@ -1,0 +1,119 @@
+"""Training orchestration: epochs, validation, checkpointing, logging.
+
+The reference's ``train_loop`` / ``train_one_epoch`` / ``validate_one_epoch``
+(reference: train.py:48-244) rebuilt around jitted sharded steps: host side
+only moves batches and logs; all math lives in one XLA program per step.
+Async dispatch note: metrics are fetched with ``jax.device_get`` once per
+batch *after* the next batch is enqueued by the prefetching loader, so
+logging does not serialize the device.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+from tqdm import tqdm
+
+from ..parallel.mesh import shard_batch
+from ..utils.logging import MetricsLogger, make_writer
+from .checkpoint import save_checkpoint
+from .step import TrainStepFns
+
+
+def _device_batch(batch: dict, mesh=None) -> dict:
+    db = {k: v for k, v in batch.items() if k != "paths"}
+    if mesh is not None:
+        return shard_batch(db, mesh)
+    return db
+
+
+def train_one_epoch(
+    state, fns: TrainStepFns, loader, logger: MetricsLogger, epoch: int, mesh=None
+):
+    total = 0.0
+    comps = np.zeros(3)
+    steps = len(loader)
+    pbar = tqdm(loader, desc="Training", total=steps)
+    for batch_idx, batch in enumerate(pbar):
+        state, metrics = fns.train_step(state, _device_batch(batch, mesh))
+        m = jax.device_get(metrics)
+        total += float(m["loss"])
+        comps += np.array([m["box"], m["cls"], m["dfl"]])
+        pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
+        logger.train_batch(m, epoch * steps + batch_idx)
+    return state, total / max(steps, 1), comps / max(steps, 1)
+
+
+def validate_one_epoch(
+    params, fns: TrainStepFns, loader, logger: MetricsLogger, epoch: int, mesh=None
+):
+    total = 0.0
+    comps = np.zeros(3)
+    steps = len(loader)
+    pbar = tqdm(loader, desc="Validation", total=steps)
+    for batch_idx, batch in enumerate(pbar):
+        m = jax.device_get(fns.eval_step(params, _device_batch(batch, mesh)))
+        total += float(m["loss"])
+        comps += np.array([m["box"], m["cls"], m["dfl"]])
+        pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
+        logger.val_batch(m, epoch * steps + batch_idx)
+    return total / max(steps, 1), comps / max(steps, 1)
+
+
+def train_loop(
+    state,
+    fns: TrainStepFns,
+    schedule,
+    train_loader,
+    val_loader,
+    cfg,
+    save_dir: str | Path,
+    start_epoch: int = 0,
+    best_val_loss: float = float("inf"),
+    mesh=None,
+) -> dict:
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    writer = make_writer(save_dir)
+    logger = MetricsLogger(writer)
+
+    epochs = cfg.training.epochs
+    for epoch in range(start_epoch, epochs):
+        print(f"\n--- Epoch {epoch + 1}/{epochs} ---")
+        state, train_loss, train_comps = train_one_epoch(
+            state, fns, train_loader, logger, epoch, mesh
+        )
+        print(f"Average Training Loss: {train_loss}")
+
+        val_loss, val_comps = validate_one_epoch(
+            state["params"], fns, val_loader, logger, epoch, mesh
+        )
+        print(f"Average Validation Loss: {val_loss}")
+
+        lr = float(schedule(jax.device_get(state["step"])))
+        logger.epoch(epoch, train_loss, val_loss, train_comps, val_comps, lr)
+
+        improved = val_loss < best_val_loss
+        if improved:
+            best_val_loss = val_loss
+        # latest.pt every epoch (post-update best_val_loss — deliberate fix
+        # of the reference's stale value, train.py:207 / SURVEY §2.7).
+        latest = save_dir / "latest.pt"
+        save_checkpoint(latest, state, epoch, best_val_loss)
+        if improved:
+            best = save_dir / "best.pt"
+            save_checkpoint(best, state, epoch, best_val_loss)
+            print(
+                f"New best model saved to {best} with validation loss: "
+                f"{best_val_loss:.4f}"
+            )
+        else:
+            print(f"Saved latest model checkpoint to {latest}")
+
+    writer.flush()
+    if hasattr(writer, "close"):
+        writer.close()
+    print("\nTraining finished!")
+    return state

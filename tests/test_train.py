@@ -1,0 +1,143 @@
+import numpy as np
+import pytest
+
+from snn_object_detectionddp_tpu.config import Config
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.model.num_classes = 3
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.max_boxes = 8
+    cfg.training.batch_size = 2
+    cfg.training.learning_rate = 1e-3
+    return cfg
+
+
+def _batch(rng, b=2, t=2, h=64, w=64, m=8):
+    images = rng.randint(0, 255, size=(b, t, h, w, 3), dtype=np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    labels[:, 0] = [1.0, 0.5, 0.5, 0.4, 0.4]
+    mask[:, 0] = True
+    return {
+        "images": images,
+        "labels": labels,
+        "label_mask": mask,
+        "sample_mask": np.ones((b,), bool),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = _tiny_cfg()
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    tx, schedule = make_optimizer(cfg.training.learning_rate, total_steps=100)
+    fns = make_step_fns(det, tx, schedule)
+
+    def fresh_state():
+        # train_step donates its state arg; every test needs its own copy.
+        return init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+
+    return cfg, det, tx, schedule, fns, fresh_state
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, det, tx, schedule, fns, fresh_state = setup
+    state = fresh_state()
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(20):
+        state, metrics = fns.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < 0.9 * losses[0]
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_eval_step_runs(setup):
+    cfg, det, tx, schedule, fns, fresh_state = setup
+    state = fresh_state()
+    batch = _batch(np.random.RandomState(1))
+    m = fns.eval_step(state["params"], batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    import jax
+
+    from snn_object_detectionddp_tpu.train.checkpoint import (
+        load_checkpoint,
+        resume_or_init,
+        save_checkpoint,
+    )
+
+    cfg, det, tx, schedule, fns, fresh_state = setup
+    state = fresh_state()
+    path = tmp_path / "latest.pt"
+    save_checkpoint(path, state, epoch=3, best_val_loss=1.25)
+    template = jax.tree.map(np.zeros_like, jax.device_get(state))
+    packed = load_checkpoint(path, template)
+    assert int(packed["epoch"]) == 3
+    assert float(packed["best_val_loss"]) == 1.25
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state)), jax.tree.leaves(packed["state"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # resume path
+    cfg.training.resume_training = True
+    cfg.training.weights_path = str(path)
+    st, start_epoch, best = resume_or_init(cfg, template)
+    assert start_epoch == 4 and best == 1.25
+
+    # missing path -> warn + fresh init
+    cfg.training.weights_path = str(tmp_path / "nope.pt")
+    called = []
+    st, start_epoch, best = resume_or_init(cfg, template, init_fn=lambda: called.append(1))
+    assert start_epoch == 0 and best == float("inf") and called == [1]
+
+
+def test_dp_matches_single_device(setup):
+    """One sharded train step over an 8-device CPU mesh must produce the
+    same loss and parameters as the unsharded step (ICI psum correctness)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(-1)
+    fns_dp = make_step_fns(det, tx, schedule, mesh=mesh)
+
+    params = det.init_params(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(2), b=8)
+
+    # Separate buffer copies: train_step donates its state argument.
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    state_a, m_a = fns.train_step(state_a, batch)
+    state_b, m_b = fns_dp.train_step(state_b, batch)
+
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_a["params"])),
+        jax.tree.leaves(jax.device_get(state_b["params"])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
