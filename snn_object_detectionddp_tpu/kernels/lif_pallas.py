@@ -47,7 +47,24 @@ def _pad_rows(total: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, v0_ref, s_ref, vpre_ref, vfin_ref, *, t_steps, p):
+def _fwd_kernel(x_ref, v0_ref, s_ref, vfin_ref, *, t_steps, p):
+    """Primal (inference) kernel: no residual output — one HBM read (x),
+    one write (spikes), membrane lives entirely in registers/VMEM."""
+    v = v0_ref[:]
+    for t in range(t_steps):
+        v_pre = p.decay * v + x_ref[t]
+        s = (v_pre >= p.threshold).astype(v_pre.dtype)
+        s_ref[t] = s
+        if p.reset == "soft":
+            v = v_pre - s * p.threshold
+        else:
+            v = v_pre * (1.0 - s)
+    vfin_ref[:] = v
+
+
+def _fwd_res_kernel(x_ref, v0_ref, s_ref, vpre_ref, vfin_ref, *, t_steps, p):
+    """VJP-forward kernel: additionally stores pre-reset membranes as the
+    BPTT residual (same footprint scan's reverse-mode would keep)."""
     v = v0_ref[:]
     for t in range(t_steps):
         v_pre = p.decay * v + x_ref[t]
@@ -61,7 +78,7 @@ def _fwd_kernel(x_ref, v0_ref, s_ref, vpre_ref, vfin_ref, *, t_steps, p):
     vfin_ref[:] = v
 
 
-def _run_fwd(x3, v3, p: LIFParams, interpret: bool):
+def _run_fwd(x3, v3, p: LIFParams, interpret: bool, with_residuals: bool):
     t_steps, rows, _ = x3.shape
     grid = (rows // TILE_R,)
     time_block = pl.BlockSpec(
@@ -70,19 +87,33 @@ def _run_fwd(x3, v3, p: LIFParams, interpret: bool):
     state_block = pl.BlockSpec(
         (TILE_R, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    if with_residuals:
+        out_shape = (
+            jax.ShapeDtypeStruct(x3.shape, x3.dtype),  # spikes
+            jax.ShapeDtypeStruct(x3.shape, x3.dtype),  # v_pre residuals
+            jax.ShapeDtypeStruct(v3.shape, v3.dtype),  # v_final
+        )
+        return pl.pallas_call(
+            partial(_fwd_res_kernel, t_steps=t_steps, p=p),
+            grid=grid,
+            in_specs=[time_block, state_block],
+            out_specs=(time_block, time_block, state_block),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x3, v3)
     out_shape = (
         jax.ShapeDtypeStruct(x3.shape, x3.dtype),  # spikes
-        jax.ShapeDtypeStruct(x3.shape, x3.dtype),  # v_pre residuals
         jax.ShapeDtypeStruct(v3.shape, v3.dtype),  # v_final
     )
-    return pl.pallas_call(
+    spikes, vfin = pl.pallas_call(
         partial(_fwd_kernel, t_steps=t_steps, p=p),
         grid=grid,
         in_specs=[time_block, state_block],
-        out_specs=(time_block, time_block, state_block),
+        out_specs=(time_block, state_block),
         out_shape=out_shape,
         interpret=interpret,
     )(x3, v3)
+    return spikes, None, vfin
 
 
 # ---------------------------------------------------------------------------
@@ -163,21 +194,21 @@ def lif_scan_pallas(
     Args: x_t (T, ...) fp32 currents; v0 (...) fp32 initial membrane.
     Returns: (spikes (T, ...), v_final (...)).
     """
-    spikes, _, v_fin = _fwd_core(x_t, v0, p, interpret)
+    spikes, _, v_fin = _fwd_core(x_t, v0, p, interpret, with_residuals=False)
     return spikes, v_fin
 
 
-def _fwd_core(x_t, v0, p, interpret):
+def _fwd_core(x_t, v0, p, interpret, with_residuals):
     x3, total = _to_lanes(x_t.astype(jnp.float32))
     v3, _ = _to_lanes(v0.astype(jnp.float32)[None])
-    s3, vpre3, vfin3 = _run_fwd(x3, v3[0], p, interpret)
+    s3, vpre3, vfin3 = _run_fwd(x3, v3[0], p, interpret, with_residuals)
     spikes = _from_lanes(s3, total, x_t.shape)
     v_fin = _from_lanes(vfin3[None], total, (1,) + v0.shape)[0]
     return spikes, vpre3, v_fin
 
 
 def _vjp_fwd(x_t, v0, p, interpret):
-    spikes, vpre3, v_fin = _fwd_core(x_t, v0, p, interpret)
+    spikes, vpre3, v_fin = _fwd_core(x_t, v0, p, interpret, with_residuals=True)
     return (spikes, v_fin), (vpre3, x_t.shape, v0.shape)
 
 
