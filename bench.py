@@ -1,0 +1,184 @@
+"""Headline benchmark: frames/sec/chip at T=4 timesteps (BASELINE.json).
+
+Measures the flagship SNN detector (yolo11m-preset spiking backbone +
+ConvLSTM temporal U-Net, bf16, DSEC-native 480x640) on the real TPU chip:
+
+- SNN inference: T=4 window forward + decode, batched;
+- surrogate-gradient BPTT train step (loss + grads + AdamW update).
+
+``vs_baseline`` is the speedup over the CPU reference workload — the same
+model/geometry on this host's CPU (the reference implementation itself is
+CUDA/torch and cannot run here; the driver-defined target is ">=20x the CPU
+reference in frames/sec/chip at T=4", BASELINE.md). The CPU number is
+measured once by re-invoking this script with --cpu-probe and cached in
+BASELINE_CPU.json (delete the file to re-measure).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+CACHE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
+T = 4
+IMG_H, IMG_W = 480, 640
+
+
+def _build(batch: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.data.encoding import preprocess_video
+    from snn_object_detectionddp_tpu.models.detect import decode_predictions
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = Config()  # flagship defaults: yolo11m preset, convlstm, bf16
+    cfg.model.num_classes = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    reg_max = cfg.model.hyp.reg_max
+    nc = cfg.model.num_classes
+
+    @jax.jit
+    def infer(params, images_u8):
+        frames = preprocess_video(images_u8)
+        raw, _ = detector.module.apply({"params": params}, frames)
+        return decode_predictions(raw, reg_max, nc)
+
+    tx, schedule = make_optimizer(1e-4, total_steps=1000)
+    fns = make_step_fns(detector, tx, schedule)
+    state = init_state(params, tx)
+
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, size=(batch, T, IMG_H, IMG_W, 3), dtype=np.uint8)
+    labels = np.zeros((batch, 16, 5), np.float32)
+    labels[:, 0] = [1.0, 0.5, 0.5, 0.3, 0.3]
+    mask = np.zeros((batch, 16), bool)
+    mask[:, 0] = True
+    train_batch = {
+        "images": images,
+        "labels": labels,
+        "label_mask": mask,
+        "sample_mask": np.ones((batch,), bool),
+    }
+    return params, infer, fns, state, images, train_batch
+
+
+def _timeit(fn, sync, iters, warmup=1):
+    for _ in range(warmup):
+        sync(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def measure(batch: int, iters: int) -> dict:
+    import jax
+
+    params, infer, fns, state, images, train_batch = _build(batch)
+
+    # Inference: keep outputs on device; sync via the (small) score tensor.
+    infer_s = _timeit(
+        lambda: infer(params, images),
+        lambda out: out[1].block_until_ready(),
+        iters,
+    )
+
+    # Train step: state is donated; rebind each call.
+    holder = {"state": state}
+
+    def step():
+        holder["state"], metrics = fns.train_step(holder["state"], train_batch)
+        return metrics
+
+    train_s = _timeit(step, lambda m: m["loss"].block_until_ready(), iters)
+
+    frames = batch * T
+    return {
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "inference_fps": frames / infer_s,
+        "train_fps": frames / train_s,
+        "inference_ms": infer_s * 1e3,
+        "train_step_ms": train_s * 1e3,
+    }
+
+
+def cpu_baseline() -> dict | None:
+    if CACHE_FILE.exists():
+        return json.loads(CACHE_FILE.read_text())
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--cpu-probe"],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        data = json.loads(line)
+        CACHE_FILE.write_text(json.dumps(data, indent=2))
+        return data
+    except Exception as e:
+        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+        return None
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-probe", action="store_true")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu_probe:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from snn_object_detectionddp_tpu.utils.cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+        res = measure(batch=args.batch or 1, iters=args.iters or 2)
+        print(json.dumps(res))
+        sys.exit(0)
+
+    from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    res = measure(batch=args.batch or 8, iters=args.iters or 10)
+    cpu = cpu_baseline()
+
+    vs = (res["inference_fps"] / cpu["inference_fps"]) if cpu else None
+    report = {
+        "metric": "frames/sec/chip @ T=4 (SNN detector forward, 480x640, bf16)",
+        "value": round(res["inference_fps"], 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "train_fps": round(res["train_fps"], 2),
+        "train_vs_baseline": round(res["train_fps"] / cpu["train_fps"], 2)
+        if cpu
+        else None,
+        "inference_ms_per_batch": round(res["inference_ms"], 2),
+        "train_step_ms": round(res["train_step_ms"], 2),
+        "batch": res["batch"],
+        "backend": res["backend"],
+    }
+    print(json.dumps(report))

@@ -17,6 +17,9 @@ from pathlib import Path
 import jax
 
 from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from snn_object_detectionddp_tpu.evals.legacy import process_dataset
 from snn_object_detectionddp_tpu.models.detector import Detector
 from snn_object_detectionddp_tpu.train.checkpoint import load_checkpoint
@@ -38,16 +41,20 @@ if __name__ == "__main__":
 
     cfg = load_config(args.config)
     detector = Detector.from_config(cfg)
-    params = detector.init_params(jax.random.PRNGKey(0))
     weights_path = (
         Path(args.weights) if args.weights else Path(cfg.training.save_dir) / "best.pt"
     )
+    tx, _ = make_optimizer(cfg.training.learning_rate, 1)
     if weights_path.exists():
-        tx, _ = make_optimizer(cfg.training.learning_rate, 1)
-        packed = load_checkpoint(weights_path, init_state(params, tx))
+        template = jax.eval_shape(
+            lambda r: init_state(detector.init_params(r), tx),
+            jax.random.PRNGKey(0),
+        )
+        packed = load_checkpoint(weights_path, template)
         params = packed["state"]["params"]
         print(f"Loaded checkpoint {weights_path}")
     else:
+        params = detector.init_params(jax.random.PRNGKey(0))
         print(f"WARNING: no checkpoint at {weights_path}; benchmarking fresh init.")
 
     report = process_dataset(

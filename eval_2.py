@@ -15,6 +15,9 @@ from pathlib import Path
 import jax
 
 from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from snn_object_detectionddp_tpu.evals.validator import evaluate_model
 from snn_object_detectionddp_tpu.models.detector import Detector
 from snn_object_detectionddp_tpu.train.checkpoint import load_checkpoint
@@ -23,16 +26,19 @@ from snn_object_detectionddp_tpu.train.step import init_state, make_optimizer
 
 def evaluate(cfg, weights: str | None = None) -> dict:
     detector = Detector.from_config(cfg)
-    params = detector.init_params(jax.random.PRNGKey(0))
 
     weights_path = Path(weights) if weights else Path(cfg.training.save_dir) / "best.pt"
+    tx, _ = make_optimizer(cfg.training.learning_rate, 1)
     if weights_path.exists():
-        tx, _ = make_optimizer(cfg.training.learning_rate, 1)
-        template = init_state(params, tx)
+        template = jax.eval_shape(
+            lambda r: init_state(detector.init_params(r), tx),
+            jax.random.PRNGKey(0),
+        )
         packed = load_checkpoint(weights_path, template)
         params = packed["state"]["params"]
         print(f"Loaded checkpoint {weights_path} (epoch {int(packed['epoch'])})")
     else:
+        params = detector.init_params(jax.random.PRNGKey(0))
         print(f"WARNING: no checkpoint at {weights_path}; evaluating fresh init.")
 
     return evaluate_model(cfg, detector, params)

@@ -19,6 +19,9 @@ from pathlib import Path
 import jax
 
 from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from snn_object_detectionddp_tpu.data.dsec import (
     DSECIndex,
     apply_train_debug,
@@ -82,9 +85,16 @@ def train_code(cfg, detector: Detector) -> None:
         detector, tx, schedule, mesh=mesh, remat=cfg.training.remat
     )
 
-    params = detector.init_params(jax.random.PRNGKey(cfg.training.seed))
-    template_state = init_state(params, tx)
-    state, start_epoch, best = resume_or_init(cfg, template_state)
+    rng = jax.random.PRNGKey(cfg.training.seed)
+    # Abstract template (no device work); real init only on fresh starts.
+    template_state = jax.eval_shape(
+        lambda r: init_state(detector.init_params(r), tx), rng
+    )
+    state, start_epoch, best = resume_or_init(
+        cfg,
+        template_state,
+        init_fn=lambda: init_state(detector.init_params(rng), tx),
+    )
 
     train_loop(
         state, fns, schedule, train_loader, val_loader, cfg, save_dir,
@@ -100,11 +110,12 @@ def visualize_code(cfg, detector: Detector) -> None:
     output_dir = save_dir / "visualizations"
     print(f"Saving visualizations to {output_dir}")
 
-    # best.pt stores the full train state; build a matching template and
-    # use only its params for inference.
-    params = detector.init_params(jax.random.PRNGKey(0))
+    # best.pt stores the full train state; restore against an abstract
+    # eval_shape template (no device work) and use only its params.
     tx, _ = make_optimizer(cfg.training.learning_rate, 1)
-    template = init_state(params, tx)
+    template = jax.eval_shape(
+        lambda r: init_state(detector.init_params(r), tx), jax.random.PRNGKey(0)
+    )
     packed = load_checkpoint(weights_path, template)
     print(
         f"Model with val loss {float(packed['best_val_loss'])} loaded "

@@ -1,4 +1,4 @@
-"""Checkpointing with Orbax: ``latest.pt`` / ``best.pt`` under save_dir.
+"""Checkpointing: ``latest.pt`` / ``best.pt`` single files under save_dir.
 
 Keeps the reference's naming and resume semantics
 (reference: train.py:201-241, main.py:133-151): a checkpoint per epoch at
@@ -9,42 +9,56 @@ when the path is missing. Two deliberate fixes over the reference
 OneCycle schedule instead of restarting it), and ``latest.pt`` records the
 post-epoch best_val_loss rather than the stale pre-epoch value.
 
-Checkpoints are directories (Orbax format) despite the ``.pt`` suffix — the
-suffix is kept so reference configs (``weights_path: .../latest.pt``) work
-unchanged.
+Format: flax msgpack serialization of the host-fetched train-state pytree —
+a single file like the reference's torch.save output, atomic via
+write-to-temp + rename. (Orbax was tried first; its restore path deadlocks
+under this machine's tunneled TPU backend, and a single-host single-file
+format needs none of its machinery.)
 """
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
-import orbax.checkpoint as ocp
+import numpy as np
+from flax import serialization
 
 
 def _pack(state: dict, epoch: int, best_val_loss: float) -> dict:
     return {
-        "state": state,
-        "epoch": jnp.asarray(epoch, jnp.int32),
-        "best_val_loss": jnp.asarray(best_val_loss, jnp.float32),
+        "state": jax.device_get(state),
+        "epoch": np.int32(epoch),
+        "best_val_loss": np.float32(best_val_loss),
     }
 
 
 def save_checkpoint(
     path: str | Path, state: dict, epoch: int, best_val_loss: float
 ) -> None:
-    path = Path(path).absolute()
+    path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with ocp.StandardCheckpointer() as ck:
-        ck.save(path, _pack(jax.device_get(state), epoch, best_val_loss), force=True)
+    data = serialization.to_bytes(_pack(state, epoch, best_val_loss))
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)  # atomic on POSIX
 
 
 def load_checkpoint(path: str | Path, template_state: dict) -> dict:
-    """Restore against a freshly-initialized template (shapes/dtypes)."""
-    path = Path(path).absolute()
-    with ocp.StandardCheckpointer() as ck:
-        return ck.restore(path, _pack(template_state, 0, float("inf")))
+    """Restore against a template pytree (structure only).
+
+    The template may hold real arrays OR ``jax.eval_shape`` abstract leaves
+    — build it with eval_shape to avoid any device work on the load path
+    (device transfers through this machine's TPU tunnel run at ~3 MB/s, so
+    a needless init + device_get costs minutes).
+    """
+    template = {
+        "state": template_state,  # no device_get: structure only
+        "epoch": np.int32(0),
+        "best_val_loss": np.float32(0),
+    }
+    return serialization.from_bytes(template, Path(path).read_bytes())
 
 
 def resume_or_init(
@@ -52,9 +66,11 @@ def resume_or_init(
 ) -> tuple[dict, int, float]:
     """Reference resume semantics (main.py:133-151).
 
-    Returns (state, start_epoch, best_val_loss). ``init_fn`` runs on a
-    fresh (non-resumed) start — the hook where the reference applies its
-    weight-init recipe (main.py:147-151).
+    Returns (state, start_epoch, best_val_loss). ``init_fn`` builds the
+    real initial state on a fresh (non-resumed) start — the hook where the
+    reference applies its weight-init recipe (main.py:147-151). Pass an
+    ``jax.eval_shape`` template to keep the resume path free of device
+    work.
     """
     if cfg.training.resume_training:
         weights_path = Path(cfg.training.weights_path)
@@ -75,5 +91,7 @@ def resume_or_init(
     else:
         print("Initializing new model from scratch...")
     if init_fn is not None:
-        init_fn()
+        # Fresh start: materialize real parameters (the template may be
+        # abstract eval_shape structure).
+        return init_fn(), 0, float("inf")
     return template_state, 0, float("inf")

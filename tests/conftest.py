@@ -15,3 +15,7 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

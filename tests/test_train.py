@@ -104,10 +104,12 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     st, start_epoch, best = resume_or_init(cfg, template)
     assert start_epoch == 4 and best == 1.25
 
-    # missing path -> warn + fresh init
+    # missing path -> warn + fresh init (init_fn builds the real state)
     cfg.training.weights_path = str(tmp_path / "nope.pt")
     called = []
-    st, start_epoch, best = resume_or_init(cfg, template, init_fn=lambda: called.append(1))
+    st, start_epoch, best = resume_or_init(
+        cfg, template, init_fn=lambda: (called.append(1), template)[1]
+    )
     assert start_epoch == 0 and best == float("inf") and called == [1]
 
 

@@ -11,6 +11,9 @@ import argparse
 from pathlib import Path
 
 from snn_object_detectionddp_tpu.config import load_config
+from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from snn_object_detectionddp_tpu.viz.video import stitch_video
 
 if __name__ == "__main__":
