@@ -74,13 +74,33 @@ def train_code(cfg, detector: Detector) -> None:
     )
 
     total_steps = len(train_loader) * cfg.training.epochs
-    tx, schedule = make_optimizer(
-        cfg.training.learning_rate,
-        total_steps,
-        weight_decay=cfg.training.weight_decay,
-        grad_clip_norm=cfg.training.grad_clip_norm,
-        pct_start=cfg.training.pct_start,
-    )
+    if cfg.training.param_groups:
+        # Discriminative LR groups need concrete params for labeling.
+        from snn_object_detectionddp_tpu.train.param_groups import (
+            make_grouped_optimizer,
+        )
+
+        concrete = detector.init_params(jax.random.PRNGKey(cfg.training.seed))
+        tx, schedule = make_grouped_optimizer(
+            concrete,
+            cfg.training.learning_rate,
+            total_steps,
+            weight_decay=cfg.training.weight_decay,
+            grad_clip_norm=cfg.training.grad_clip_norm,
+            pct_start=cfg.training.pct_start,
+        )
+    else:
+        tx, schedule = make_optimizer(
+            cfg.training.learning_rate,
+            total_steps,
+            weight_decay=cfg.training.weight_decay,
+            grad_clip_norm=cfg.training.grad_clip_norm,
+            pct_start=cfg.training.pct_start,
+        )
+    if cfg.runtime.debug_nans:
+        from snn_object_detectionddp_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
     fns = make_step_fns(
         detector, tx, schedule, mesh=mesh, remat=cfg.training.remat
     )

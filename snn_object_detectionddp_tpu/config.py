@@ -57,6 +57,7 @@ class TrainingConfig:
     grad_clip_norm: float = 10.0  # reference: train.py:77
     pct_start: float = 0.3  # OneCycle warmup fraction (reference: train.py:167)
     remat: bool = False  # jax.checkpoint over the temporal scan for long T
+    param_groups: bool = False  # discriminative LR groups (train/param_groups.py)
 
 
 @dataclass
@@ -112,6 +113,7 @@ class RuntimeConfig:
     precision: str = "bf16"  # compute dtype for convs/matmuls: "bf16" | "f32"
     prefetch: int = 2  # device-prefetch depth of the input pipeline
     lif_kernel: str = "auto"  # "auto" | "pallas" | "xla" (models/lif.py)
+    debug_nans: bool = False  # jax debug_nans NaN-origin tracing (utils/debug.py)
 
 
 @dataclass

@@ -45,6 +45,53 @@ def save_checkpoint(
     os.replace(tmp, path)  # atomic on POSIX
 
 
+class AsyncCheckpointer:
+    """Checkpoint off the training critical path.
+
+    Device-to-host readback on this machine's tunneled TPU runs at ~1 MB/s,
+    so a synchronous per-epoch save (reference semantics, train.py:201-241)
+    stalls training for minutes. This helper snapshots the state with an
+    on-device copy (cheap, and safe against the train step's buffer
+    donation) and performs device_get + serialization + file writes in a
+    background thread. ``wait()`` joins the in-flight save; saves never
+    overlap.
+    """
+
+    def __init__(self):
+        self._thread = None
+
+    def save(
+        self,
+        state: dict,
+        epoch: int,
+        best_val_loss: float,
+        latest_path: str | Path,
+        best_path: str | Path | None = None,
+    ) -> None:
+        import jax.numpy as jnp
+
+        self.wait()  # one in-flight save at a time
+        # On-device snapshot: the caller's buffers will be donated to the
+        # next train step while the background thread reads.
+        snap = jax.tree.map(jnp.copy, state)
+
+        def job():
+            host = jax.device_get(snap)
+            save_checkpoint(latest_path, host, epoch, best_val_loss)
+            if best_path is not None:
+                save_checkpoint(best_path, host, epoch, best_val_loss)
+
+        import threading
+
+        self._thread = threading.Thread(target=job, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join()
+        self._thread = None
+
+
 def load_checkpoint(path: str | Path, template_state: dict) -> dict:
     """Restore against a template pytree (structure only).
 

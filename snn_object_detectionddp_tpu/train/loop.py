@@ -18,7 +18,7 @@ from tqdm import tqdm
 
 from ..parallel.mesh import shard_batch
 from ..utils.logging import MetricsLogger, make_writer
-from .checkpoint import save_checkpoint
+from .checkpoint import AsyncCheckpointer
 from .step import TrainStepFns
 
 
@@ -78,6 +78,7 @@ def train_loop(
     save_dir.mkdir(parents=True, exist_ok=True)
     writer = make_writer(save_dir)
     logger = MetricsLogger(writer)
+    ckptr = AsyncCheckpointer()
 
     epochs = cfg.training.epochs
     for epoch in range(start_epoch, epochs):
@@ -100,11 +101,11 @@ def train_loop(
             best_val_loss = val_loss
         # latest.pt every epoch (post-update best_val_loss — deliberate fix
         # of the reference's stale value, train.py:207 / SURVEY §2.7).
+        # Saved asynchronously: D2H readback must not stall training.
         latest = save_dir / "latest.pt"
-        save_checkpoint(latest, state, epoch, best_val_loss)
+        best = save_dir / "best.pt" if improved else None
+        ckptr.save(state, epoch, best_val_loss, latest, best)
         if improved:
-            best = save_dir / "best.pt"
-            save_checkpoint(best, state, epoch, best_val_loss)
             print(
                 f"New best model saved to {best} with validation loss: "
                 f"{best_val_loss:.4f}"
@@ -112,6 +113,7 @@ def train_loop(
         else:
             print(f"Saved latest model checkpoint to {latest}")
 
+    ckptr.wait()
     writer.flush()
     if hasattr(writer, "close"):
         writer.close()

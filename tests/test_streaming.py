@@ -1,0 +1,51 @@
+"""Scan-vs-streaming equivalence (SURVEY §4): one windowed call over T
+frames must equal T single-frame calls with carried recurrent state — the
+fixed-shape analogue of the reference's frame-by-frame loop
+(reference: train.py:64-66)."""
+
+import jax
+import numpy as np
+import pytest
+
+from snn_object_detectionddp_tpu.config import Config
+from snn_object_detectionddp_tpu.models.detector import Detector
+
+
+@pytest.fixture(scope="module")
+def det_and_params():
+    cfg = Config()
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.runtime.precision = "f32"  # exact equivalence, no bf16 noise
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    return det, params
+
+
+@pytest.mark.parametrize("bottleneck", ["convlstm", "lif"])
+def test_window_equals_streaming(det_and_params, bottleneck):
+    cfg = Config()
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.bottleneck = bottleneck
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(3, 1, 64, 64, 3).astype(np.float32)
+
+    raw_window, _ = det.apply(params, frames)
+
+    state = None
+    for t in range(3):
+        raw_stream, state = det.apply(params, frames[t : t + 1], state)
+
+    for a, b in zip(raw_window, raw_stream):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
