@@ -84,7 +84,11 @@ def _build(batch: int):
     return params, infer, fns, state, images, train_batch
 
 
-def _timeit(fn, sync, iters, warmup=1):
+def _timeit(fn, sync, iters, warmup=2):
+    """Pipelined throughput: dispatch ``iters`` steps, then force a full
+    queue drain. On this machine's tunneled TPU, ``block_until_ready`` can
+    return before the dispatch queue drains; ``sync`` must therefore be a
+    host readback (jax.device_get of a scalar), which does drain it."""
     for _ in range(warmup):
         sync(fn())
     t0 = time.perf_counter()
@@ -100,10 +104,10 @@ def measure(batch: int, iters: int) -> dict:
 
     params, infer, fns, state, images, train_batch = _build(batch)
 
-    # Inference: keep outputs on device; sync via the (small) score tensor.
+    # Inference: keep outputs on device; drain via scalar readback.
     infer_s = _timeit(
         lambda: infer(params, images),
-        lambda out: out[1].block_until_ready(),
+        lambda out: jax.device_get(out[1][0, 0, 0]),
         iters,
     )
 
@@ -114,7 +118,7 @@ def measure(batch: int, iters: int) -> dict:
         holder["state"], metrics = fns.train_step(holder["state"], train_batch)
         return metrics
 
-    train_s = _timeit(step, lambda m: m["loss"].block_until_ready(), iters)
+    train_s = _timeit(step, lambda m: float(jax.device_get(m["loss"])), iters)
 
     frames = batch * T
     return {
