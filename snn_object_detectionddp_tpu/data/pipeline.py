@@ -27,6 +27,7 @@ from typing import Iterator
 import cv2
 import numpy as np
 
+from . import native
 from .dsec import DSECIndex
 
 
@@ -97,8 +98,34 @@ class BatchLoader:
             return images, lab, mask, s.last_frame_path
         return images, None, None, s.last_frame_path
 
+    def _decode_native(self, batch_indices: list[int]):
+        """Whole-batch decode through the C++ thread-pool loader (one call
+        for all B*T frames; RGB directly, no BGR pass)."""
+        samples = [self.index.samples[i] for i in batch_indices]
+        all_paths = [p for s in samples for p in s.frame_paths]
+        h, w = native.png_shape(all_paths[0])
+        flat = native.decode_batch(all_paths, h, w, self.num_threads)
+        t = samples[0].seq_len
+        images = flat.reshape(len(samples), t, h, w, 3)
+        results = []
+        for i, (s, idx) in enumerate(zip(samples, batch_indices)):
+            if self.index.mode in ("train", "val"):
+                lab, mask = pad_labels(
+                    self.index.sample_labels(idx, h, w), self.max_boxes
+                )
+                results.append((images[i], lab, mask, s.last_frame_path))
+            else:
+                results.append((images[i], None, None, s.last_frame_path))
+        return results
+
     def _make_batch(self, batch_indices: list[int], pool: ThreadPoolExecutor):
-        results = list(pool.map(self._load_sample, batch_indices))
+        if native.available():
+            try:
+                results = self._decode_native(batch_indices)
+            except Exception:
+                results = list(pool.map(self._load_sample, batch_indices))
+        else:
+            results = list(pool.map(self._load_sample, batch_indices))
         b = len(results)
         bs = self.batch_size
         images = np.stack([r[0] for r in results])
