@@ -19,6 +19,7 @@ A background thread assembles batches ahead of consumption (depth
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -29,6 +30,10 @@ import numpy as np
 
 from . import native
 from .dsec import DSECIndex
+
+
+def _use_native() -> bool:
+    return os.environ.get("SNN_TPU_NATIVE_DECODE", "0") == "1"
 
 
 def pad_labels(labels: np.ndarray, max_boxes: int) -> tuple[np.ndarray, np.ndarray]:
@@ -119,7 +124,11 @@ class BatchLoader:
         return results
 
     def _make_batch(self, batch_indices: list[int], pool: ThreadPoolExecutor):
-        if native.available():
+        # The C++ loader is opt-in (SNN_TPU_NATIVE_DECODE=1): on this host
+        # cv2's SIMD-tuned PNG decode outperforms libpng ~3.5x on a single
+        # core, so cv2 threads are the default. Both paths are bit-identical
+        # (tests/test_native.py).
+        if _use_native() and native.available():
             try:
                 results = self._decode_native(batch_indices)
             except Exception:

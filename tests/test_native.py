@@ -57,13 +57,14 @@ def test_pipeline_uses_native(tmp_path):
     cfg.dataset.train.seq_len = 3
     index = DSECIndex(cfg, "train")
     loader = BatchLoader(index, list(range(4)), batch_size=2, max_boxes=4)
-    batches_native = [b["images"].copy() for b in loader]
+    import os
 
-    native._unavailable = True  # force cv2 fallback
+    os.environ["SNN_TPU_NATIVE_DECODE"] = "1"
     try:
-        batches_cv2 = [b["images"].copy() for b in loader]
+        batches_native = [b["images"].copy() for b in loader]
     finally:
-        native._unavailable = False
+        os.environ["SNN_TPU_NATIVE_DECODE"] = "0"
+    batches_cv2 = [b["images"].copy() for b in loader]
 
     for a, b in zip(batches_native, batches_cv2):
         np.testing.assert_array_equal(a, b)
