@@ -98,6 +98,7 @@ class ModelConfig:
     bottleneck: str = "convlstm"  # "convlstm" | "lif" | "lstm-free" (resolved
     # from use_conv_lstm when absent)
     width_mult: float = 1.0  # backbone width scale on top of the preset
+    stem: str = "s2d4"  # "s2d4" (one-shot 4x4 space-to-depth) | "s2d" | "conv"
 
 
 @dataclass

@@ -41,6 +41,7 @@ class SNNTemporalDetector(nn.Module):
     lif: LIFParams = LIFParams()
     backbone_channels: tuple[int, ...] = (48, 128, 256, 512)
     backbone_depth: int = 1
+    stem: str = "s2d"
     unet_base: int = 128
     bottleneck: str = "convlstm"
     dtype: Any = jnp.bfloat16
@@ -52,6 +53,7 @@ class SNNTemporalDetector(nn.Module):
             lif=self.lif,
             channels=self.backbone_channels,
             depth=self.backbone_depth,
+            stem=self.stem,
             dtype=self.dtype,
             name="backbone",
         )(frames_t, state.get("backbone"))
@@ -104,6 +106,7 @@ class Detector:
             lif=lif,
             backbone_channels=chans,
             backbone_depth=depth,
+            stem=cfg.model.stem,
             unet_base=int(cfg.model.width_mult * 128),
             bottleneck=bottleneck,
             dtype=dtype,

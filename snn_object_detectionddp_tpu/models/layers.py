@@ -85,8 +85,10 @@ class SpikingConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         x = x.reshape((t, b) + x.shape[1:])
-        spikes, v_final = run_lif(x.astype(jnp.float32), self.lif, v0)
-        return spikes.astype(self.dtype), v_final
+        # Currents stream in the compute dtype (bf16): half the HBM traffic
+        # through the LIF stage; the membrane carry stays fp32 inside.
+        spikes, v_final = run_lif(x.astype(self.dtype), self.lif, v0)
+        return spikes, v_final
 
 
 class SpikingDownBlock(nn.Module):

@@ -76,14 +76,18 @@ def lif_step(
     v: jnp.ndarray, x: jnp.ndarray, p: LIFParams
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One membrane update. Returns (spikes, v_next). ``x`` is the synaptic
-    current (e.g. a conv output) with the same shape as ``v``."""
-    v_pre = p.decay * v + x
+    current (e.g. a conv output) with the same shape as ``v``.
+
+    Mixed precision: ``x`` may be bf16 while ``v`` stays fp32 — membrane
+    arithmetic always runs in v's dtype; spikes come back in x's dtype.
+    """
+    v_pre = p.decay * v + x.astype(v.dtype)
     s = spike(v_pre - p.threshold, p.surrogate_slope)
     if p.reset == "soft":
         v_next = v_pre - s * p.threshold
     else:  # hard reset to zero
         v_next = v_pre * (1.0 - s)
-    return s, v_next
+    return s.astype(x.dtype), v_next
 
 
 def lif_scan(
@@ -106,7 +110,7 @@ def lif_scan(
       spikes (T, ...) and the final membrane (...,).
     """
     if v0 is None:
-        v0 = jnp.zeros(x_t.shape[1:], dtype=x_t.dtype)
+        v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
 
     def body(v, x):
         s, v_next = lif_step(v, x, p)
@@ -145,6 +149,6 @@ def run_lif(
         from ..kernels.lif_pallas import lif_scan_pallas  # lazy: avoid cycle
 
         if v0 is None:
-            v0 = jnp.zeros(x_t.shape[1:], dtype=x_t.dtype)
+            v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
         return lif_scan_pallas(x_t, v0, p, False)
     return lif_scan(x_t, p, v0)
