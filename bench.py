@@ -173,7 +173,7 @@ if __name__ == "__main__":
     from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    res = measure(batch=args.batch or 8, iters=args.iters or 10)
+    res = measure(batch=args.batch or 16, iters=args.iters or 20)
     cpu = cpu_baseline()
 
     vs = (res["inference_fps"] / cpu["inference_fps"]) if cpu else None

@@ -95,8 +95,9 @@ class ModelConfig:
     image_size: tuple[int, int] = (480, 640)  # (H, W); DSEC native resolution
     max_boxes: int = 64  # fixed-shape label padding per image
     spike: SpikeConfig = field(default_factory=SpikeConfig)
-    bottleneck: str = "convlstm"  # "convlstm" | "lif" | "lstm-free" (resolved
-    # from use_conv_lstm when absent)
+    bottleneck: str = "convlstm"  # "convlstm" | "lif" | "lstm" (token LSTM,
+    # the reference's use_conv_lstm=False variant); resolved from
+    # use_conv_lstm when absent
     width_mult: float = 1.0  # backbone width scale on top of the preset
     stem: str = "s2d4"  # "s2d4" (one-shot 4x4 space-to-depth) | "s2d" | "conv"
 

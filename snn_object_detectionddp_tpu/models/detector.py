@@ -93,7 +93,7 @@ class Detector:
         )
         bottleneck = (
             cfg.model.bottleneck
-            if cfg.model.bottleneck in ("convlstm", "lif")
+            if cfg.model.bottleneck in ("convlstm", "lif", "lstm")
             else ("convlstm" if cfg.model.use_conv_lstm else "lif")
         )
         from .lif import set_lif_impl

@@ -80,6 +80,15 @@ class TemporalUNet(nn.Module):
                 c4, dtype=self.dtype, name="bottleneck"
             )(d3, state.get("bottleneck"))
             bott = h_seq[-1]
+        elif self.bottleneck == "lstm":
+            # Reference's use_conv_lstm=False variant: 2-layer LSTM over
+            # flattened spatial tokens (reference: model.py:113-114,131-137).
+            from .token_lstm import TokenLSTM
+
+            h_seq, new_state["bottleneck"] = TokenLSTM(
+                c4, dtype=self.dtype, name="bottleneck"
+            )(d3, state.get("bottleneck"))
+            bott = h_seq[-1]
         else:  # "lif": membrane potential is the recurrence
             spikes, v_final = SpikingConvBlock(
                 c4, self.lif, dtype=self.dtype, name="bottleneck"

@@ -24,7 +24,7 @@ def det_and_params():
     return det, params
 
 
-@pytest.mark.parametrize("bottleneck", ["convlstm", "lif"])
+@pytest.mark.parametrize("bottleneck", ["convlstm", "lif", "lstm"])
 def test_window_equals_streaming(det_and_params, bottleneck):
     cfg = Config()
     cfg.model.num_classes = 2
