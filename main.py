@@ -141,7 +141,15 @@ def visualize_code(cfg, detector: Detector) -> None:
         f"Model with val loss {float(packed['best_val_loss'])} loaded "
         "successfully for visualization."
     )
-    run_visualization(cfg, detector, packed["state"]["params"], output_dir)
+    from snn_object_detectionddp_tpu.data.classes import DSEC_DET_CLASSES
+
+    run_visualization(
+        cfg,
+        detector,
+        packed["state"]["params"],
+        output_dir,
+        class_names=DSEC_DET_CLASSES[: cfg.model.num_classes],
+    )
 
 
 if __name__ == "__main__":

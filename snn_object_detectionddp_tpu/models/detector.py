@@ -128,6 +128,25 @@ class Detector:
     def apply(self, params, frames_t: jnp.ndarray, state: dict | None = None):
         return self.module.apply({"params": params}, frames_t, state)
 
+    def spike_rates(self, params, frames_t: jnp.ndarray) -> dict[str, float]:
+        """Mean firing rate of every spiking block for one batch — the SNN
+        activity/sparsity diagnostic (flat dict: 'backbone/stem1' -> rate)."""
+        _, variables = self.module.apply(
+            {"params": params}, frames_t, mutable=["intermediates"]
+        )
+
+        flat = {}
+
+        def walk(tree, prefix):
+            for k, v in tree.items():
+                if k == "spike_rate":
+                    flat[prefix.rstrip("/")] = float(jax.device_get(v[0]))
+                elif isinstance(v, dict):
+                    walk(v, prefix + k + "/")
+
+        walk(variables["intermediates"], "")
+        return flat
+
     def decode(self, raw_maps):
         """Raw maps -> (boxes_xyxy pixels, class scores) for NMS."""
         return decode_predictions(

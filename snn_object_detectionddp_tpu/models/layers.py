@@ -88,6 +88,14 @@ class SpikingConvBlock(nn.Module):
         # Currents stream in the compute dtype (bf16): half the HBM traffic
         # through the LIF stage; the membrane carry stays fp32 inside.
         spikes, v_final = run_lif(x.astype(self.dtype), self.lif, v0)
+        # SNN observability: mean firing rate, materialized only when the
+        # caller requests the 'intermediates' collection (XLA drops it
+        # otherwise). See Detector.spike_rates.
+        self.sow(
+            "intermediates",
+            "spike_rate",
+            jnp.mean(spikes.astype(jnp.float32)),
+        )
         return spikes, v_final
 
 

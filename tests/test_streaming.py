@@ -49,3 +49,16 @@ def test_window_equals_streaming(det_and_params, bottleneck):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
         )
+
+
+def test_spike_rates_observability(det_and_params):
+    det, params = det_and_params
+    rng = np.random.RandomState(1)
+    frames = rng.rand(2, 1, 64, 64, 3).astype(np.float32)
+    rates = det.spike_rates(params, frames)
+    assert len(rates) >= 8  # every spiking block reports
+    assert any("backbone/stem1" in k for k in rates)
+    for k, r in rates.items():
+        assert 0.0 <= r <= 1.0, (k, r)
+    # At random init, some layer must actually fire.
+    assert max(rates.values()) > 0.0
