@@ -1,0 +1,65 @@
+import numpy as np
+
+from snn_object_detectionddp_tpu.evals.flow import (
+    farneback_flow,
+    update_bounding_boxes,
+)
+from snn_object_detectionddp_tpu.evals.legacy import eval_metric_dsec
+
+
+def test_eval_metric_dsec_hand_case():
+    # Frame 1: det matches gt exactly (IoU 1). Frame 2: det half-overlaps.
+    dets = [
+        np.array([[0, 0, 10, 10]], np.float32),
+        np.array([[0, 0, 10, 5]], np.float32),
+    ]
+    gts = [
+        np.array([[0, 0, 10, 10]], np.float32),
+        np.array([[0, 0, 10, 10]], np.float32),
+    ]
+    m = eval_metric_dsec(dets, gts, iou_thresh=0.5)
+    np.testing.assert_allclose(m["avg_iou"], 0.75, atol=1e-5)
+    np.testing.assert_allclose(m["precision"], 1.0, atol=1e-6)
+    assert m["num_detections"] == 2
+
+    m2 = eval_metric_dsec(dets, gts, iou_thresh=0.6)
+    np.testing.assert_allclose(m2["precision"], 0.5, atol=1e-6)
+
+
+def test_eval_metric_empty_gt_counts_as_zero_iou():
+    dets = [np.array([[0, 0, 10, 10]], np.float32)]
+    gts = [np.zeros((0, 4), np.float32)]
+    m = eval_metric_dsec(dets, gts)
+    assert m["avg_iou"] == 0.0 and m["precision"] == 0.0
+
+
+def test_update_bounding_boxes_mean_shift():
+    flow = np.zeros((50, 50, 2), np.float32)
+    flow[..., 0] = 3.0  # uniform +3 px in x
+    flow[..., 1] = -2.0
+    boxes = np.array([[10, 10, 20, 20]], np.float32)
+    out = update_bounding_boxes(boxes, flow)
+    np.testing.assert_allclose(out, [[13, 8, 23, 18]])
+
+
+def test_update_bounding_boxes_nan_safe_and_clipped():
+    flow = np.full((20, 20, 2), np.nan, np.float32)
+    boxes = np.array([[2, 2, 8, 8]], np.float32)
+    out = update_bounding_boxes(boxes, flow)
+    np.testing.assert_allclose(out, boxes)  # NaN -> zero shift
+
+    flow = np.zeros((20, 20, 2), np.float32)
+    flow[..., 0] = 100.0
+    out = update_bounding_boxes(boxes, flow)
+    assert out[0, 2] <= 20.0  # clipped to image width
+
+
+def test_farneback_on_translated_frame():
+    rng = np.random.RandomState(0)
+    base = (rng.rand(64, 64) * 255).astype(np.uint8)
+    shifted = np.roll(base, 4, axis=1)  # move content +4 px in x
+    flow = farneback_flow(base, shifted)
+    # Central region should report roughly +4 px x-flow.
+    center = flow[16:48, 16:48]
+    assert abs(float(np.median(center[..., 0])) - 4.0) < 1.5
+    assert abs(float(np.median(center[..., 1]))) < 1.0

@@ -144,3 +144,25 @@ def test_dp_matches_single_device(setup):
     ):
         # Sharded psum changes fp reduction order; tolerance covers that.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_remat_matches_baseline(setup):
+    """training.remat rematerializes the temporal forward; loss and params
+    after one step must match the non-remat step."""
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    fns_remat = make_step_fns(det, tx, schedule, remat=True)
+    params = det.init_params(jax.random.PRNGKey(3))
+    batch = _batch(np.random.RandomState(5))
+
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    _, m_a = fns.train_step(state_a, batch)
+    _, m_b = fns_remat.train_step(state_b, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+    )
