@@ -128,6 +128,43 @@ class Detector:
     def apply(self, params, frames_t: jnp.ndarray, state: dict | None = None):
         return self.module.apply({"params": params}, frames_t, state)
 
+    def detect_image(
+        self,
+        params,
+        image_u8: jnp.ndarray,
+        encoding: str = "direct",
+        rng: jax.Array | None = None,
+        conf: float = 0.3,
+        iou: float = 0.45,
+        max_det: int = 300,
+    ) -> dict:
+        """Single-image SNN detection at T = cfg.model.timesteps.
+
+        The static image is spike-encoded over T timesteps ("direct" repeats
+        the frame as constant current; "rate" draws Bernoulli spike trains —
+        data/encoding.py) and run through the temporal detector; detections
+        come from the final timestep (BASELINE config #1).
+
+        Args: image_u8 (B, H, W, 3) uint8. Returns the fixed-shape NMS dict.
+        """
+        from ..data.encoding import encode_direct, encode_rate
+        from ..ops.nms import batched_nms
+
+        t = self.cfg.model.timesteps
+        if encoding == "direct":
+            frames = encode_direct(image_u8, t)
+        elif encoding == "rate":
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            frames = encode_rate(image_u8, rng, t)
+        else:
+            raise ValueError(f"unknown encoding '{encoding}'")
+        raw_maps, _ = self.apply(params, frames)
+        boxes, scores = self.decode(raw_maps)
+        return batched_nms(
+            boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
+        )
+
     def spike_rates(self, params, frames_t: jnp.ndarray) -> dict[str, float]:
         """Mean firing rate of every spiking block for one batch — the SNN
         activity/sparsity diagnostic (flat dict: 'backbone/stem1' -> rate)."""

@@ -62,3 +62,18 @@ def test_spike_rates_observability(det_and_params):
         assert 0.0 <= r <= 1.0, (k, r)
     # At random init, some layer must actually fire.
     assert max(rates.values()) > 0.0
+
+
+def test_detect_image_encodings(det_and_params):
+    det, params = det_and_params
+    rng = np.random.RandomState(2)
+    image = rng.randint(0, 255, size=(1, 64, 64, 3), dtype=np.uint8)
+    for enc in ("direct", "rate"):
+        out = det.detect_image(params, image, encoding=enc, conf=0.0)
+        assert out["boxes"].shape == (1, 300, 4)
+        assert out["scores"].shape == (1, 300)
+    try:
+        det.detect_image(params, image, encoding="banana")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
