@@ -119,6 +119,7 @@ def train_code(cfg, detector: Detector) -> None:
     train_loop(
         state, fns, schedule, train_loader, val_loader, cfg, save_dir,
         start_epoch=start_epoch, best_val_loss=best, mesh=mesh,
+        detector=detector,
     )
 
 

@@ -73,6 +73,7 @@ def train_loop(
     start_epoch: int = 0,
     best_val_loss: float = float("inf"),
     mesh=None,
+    detector=None,
 ) -> dict:
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -95,6 +96,19 @@ def train_loop(
 
         lr = float(schedule(jax.device_get(state["step"])))
         logger.epoch(epoch, train_loss, val_loss, train_comps, val_comps, lr)
+
+        # SNN observability: per-layer firing rates on one val batch.
+        if detector is not None:
+            try:
+                from ..data.encoding import preprocess_video
+
+                first = next(iter(val_loader))
+                frames = preprocess_video(first["images"])
+                rates = detector.spike_rates(state["params"], frames)
+                for name, rate in rates.items():
+                    writer.add_scalar(f"SpikeRates/{name}", rate, epoch)
+            except Exception as e:
+                print(f"spike-rate logging skipped: {e}")
 
         improved = val_loss < best_val_loss
         if improved:
