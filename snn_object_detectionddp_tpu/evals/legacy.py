@@ -238,3 +238,40 @@ def process_dataset(
         else 0.0,
     }
     return {"per_sequence": results, "aggregate": agg}
+
+
+def compute_iou_list(
+    detections: np.ndarray, gts: np.ndarray, top_n: int | None = None
+) -> float:
+    """Mean of the top-N best-IoU matches between one frame's detections
+    and ground truth (reference: utils.py:261-282)."""
+    if detections.size == 0 or gts.size == 0:
+        return 0.0
+    m = _iou_matrix(detections[:, :4], gts[:, :4])
+    best = np.sort(m.max(axis=1))[::-1]
+    if top_n is not None:
+        best = best[:top_n]
+    return float(best.mean()) if best.size else 0.0
+
+
+def gt_velocity(
+    frame_boxes: list[np.ndarray], frame_dt_s: float = 0.05
+) -> list[float]:
+    """Mean ground-truth box-center speed (px/s) between consecutive
+    frames (reference: utils.py:285-311, get_vel). Frames with no boxes on
+    either side contribute 0."""
+    out = []
+    for prev, cur in zip(frame_boxes[:-1], frame_boxes[1:]):
+        if prev.size == 0 or cur.size == 0:
+            out.append(0.0)
+            continue
+        pc = np.stack(
+            [(prev[:, 0] + prev[:, 2]) / 2, (prev[:, 1] + prev[:, 3]) / 2], 1
+        )
+        cc = np.stack(
+            [(cur[:, 0] + cur[:, 2]) / 2, (cur[:, 1] + cur[:, 3]) / 2], 1
+        )
+        # Nearest-center matching (tracks are unordered between frames).
+        d = np.linalg.norm(pc[:, None] - cc[None], axis=-1)
+        out.append(float(d.min(axis=1).mean() / frame_dt_s))
+    return out
