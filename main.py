@@ -29,7 +29,7 @@ from snn_object_detectionddp_tpu.data.dsec import (
 )
 from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
 from snn_object_detectionddp_tpu.models.detector import Detector
-from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+from snn_object_detectionddp_tpu.parallel.mesh import host_shard_indices, make_mesh
 from snn_object_detectionddp_tpu.train.checkpoint import (
     load_checkpoint,
     resume_or_init,
@@ -51,6 +51,9 @@ def train_code(cfg, detector: Detector) -> None:
     train_idx, val_idx = apply_train_debug(train_idx, val_idx, cfg.debug_train)
 
     mesh = make_mesh(cfg.mesh.data)
+    # Multi-host: each process feeds its own shard of the sample list.
+    train_idx = host_shard_indices(train_idx)
+    val_idx = host_shard_indices(val_idx)
     n_dev = mesh.devices.size
     bs = cfg.training.batch_size
     if bs % n_dev:

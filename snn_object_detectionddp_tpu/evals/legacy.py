@@ -191,20 +191,23 @@ def process_dataset(
     """Benchmark all test sequences; returns per-sequence and aggregate
     stats in the reference's report shape (eval.py:153-191)."""
     index = DSECIndex(cfg, "test")
-    # Group frames per sequence dir.
+    # All frames of each sequence, in order (samples of one sequence share
+    # the same filename tuple).
     seq_frames: dict[str, list[str]] = {}
     for s in index.samples:
-        seq_frames.setdefault(s.image_dir, s.frame_paths[:0])
-    for d in seq_frames:
-        names = next(s for s in index.samples if s.image_dir == d).filenames
-        seq_frames[d] = [str(Path(d) / n) for n in names]
+        if s.image_dir not in seq_frames:
+            seq_frames[s.image_dir] = [
+                str(Path(s.image_dir) / n) for n in s.filenames
+            ]
 
     results = {}
     for seq_dir, paths in seq_frames.items():
         if max_frames_per_seq:
             paths = paths[:max_frames_per_seq]
+        # <seq>/images/left/distorted -> sequence name is 4 levels up.
+        seq_name = Path(seq_dir).parents[2].name
         annotate_dir = (
-            str(Path(cfg.training.save_dir) / "annotated" / Path(seq_dir).parts[-4])
+            str(Path(cfg.training.save_dir) / "annotated" / seq_name)
             if annotate
             else None
         )

@@ -61,3 +61,22 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
     """Round a global batch size up to a multiple of the mesh size."""
     return -(-batch_size // n_devices) * n_devices
+
+
+def host_shard_indices(indices: list[int]) -> list[int]:
+    """Per-host slice of the sample indices for multi-host training — the
+    JAX-native replacement for torch's DistributedSampler (SURVEY §5): each
+    host feeds its own contiguous shard of the global index list; the mesh
+    sharding stitches per-host batches into the global batch. No-op on a
+    single host."""
+    n = jax.process_count()
+    if n == 1:
+        return list(indices)
+    i = jax.process_index()
+    per = -(-len(indices) // n)
+    shard = list(indices[i * per : (i + 1) * per])
+    # Pad the last host by wrapping so every host yields the same number of
+    # batches (collective steps must stay in lockstep).
+    while len(shard) < per and indices:
+        shard.append(indices[len(shard) % len(indices)])
+    return shard

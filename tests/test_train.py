@@ -166,3 +166,9 @@ def test_remat_matches_baseline(setup):
     np.testing.assert_allclose(
         float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
     )
+
+
+def test_host_shard_indices_single_host():
+    from snn_object_detectionddp_tpu.parallel.mesh import host_shard_indices
+
+    assert host_shard_indices([3, 1, 4, 1, 5]) == [3, 1, 4, 1, 5]
