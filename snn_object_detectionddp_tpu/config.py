@@ -58,6 +58,9 @@ class TrainingConfig:
     pct_start: float = 0.3  # OneCycle warmup fraction (reference: train.py:167)
     remat: bool = False  # jax.checkpoint over the temporal scan for long T
     param_groups: bool = False  # discriminative LR groups (train/param_groups.py)
+    save_every_epochs: int = 1  # checkpoint write cadence; the best state is
+    # snapshotted on-device at every improvement regardless, so best.pt is
+    # exact even with sparse writes (slow-storage hosts)
 
 
 @dataclass

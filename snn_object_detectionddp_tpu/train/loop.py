@@ -82,6 +82,7 @@ def train_loop(
     ckptr = AsyncCheckpointer()
 
     epochs = cfg.training.epochs
+    best_snap = None  # (device-copied state, epoch) pending a best.pt write
     for epoch in range(start_epoch, epochs):
         print(f"\n--- Epoch {epoch + 1}/{epochs} ---")
         state, train_loss, train_comps = train_one_epoch(
@@ -113,18 +114,32 @@ def train_loop(
         improved = val_loss < best_val_loss
         if improved:
             best_val_loss = val_loss
-        # latest.pt every epoch (post-update best_val_loss — deliberate fix
-        # of the reference's stale value, train.py:207 / SURVEY §2.7).
-        # Saved asynchronously: D2H readback must not stall training.
-        latest = save_dir / "latest.pt"
-        best = save_dir / "best.pt" if improved else None
-        ckptr.save(state, epoch, best_val_loss, latest, best)
-        if improved:
-            print(
-                f"New best model saved to {best} with validation loss: "
-                f"{best_val_loss:.4f}"
-            )
-        else:
+            # Exact best state, snapshotted on device (cheap copy); written
+            # out on the next scheduled write — so best.pt fidelity does not
+            # depend on the write cadence.
+            import jax.numpy as jnp
+
+            best_snap = (jax.tree.map(jnp.copy, state), epoch)
+            print(f"New best model (epoch {epoch + 1}), val loss {best_val_loss:.4f}")
+
+        # Checkpoint writes every `save_every_epochs` (reference semantics =
+        # 1, train.py:201-241; 0 = final epoch only — for hosts with slow
+        # storage/readback). Async: D2H must not stall training. The saved
+        # best_val_loss is the post-epoch value (deliberate fix of the
+        # reference's stale value, train.py:207 / SURVEY §2.7).
+        cadence = getattr(cfg.training, "save_every_epochs", 1)
+        is_last = epoch == epochs - 1
+        if is_last or (cadence and (epoch + 1) % cadence == 0):
+            latest = save_dir / "latest.pt"
+            ckptr.save(state, epoch, best_val_loss, latest)
+            if best_snap is not None:
+                snap_state, snap_epoch = best_snap
+                ckptr.wait()
+                ckptr.save(
+                    snap_state, snap_epoch, best_val_loss, save_dir / "best.pt"
+                )
+                best_snap = None
+                print(f"Best checkpoint written to {save_dir / 'best.pt'}")
             print(f"Saved latest model checkpoint to {latest}")
 
     ckptr.wait()
