@@ -171,17 +171,20 @@ class Detector:
         _, variables = self.module.apply(
             {"params": params}, frames_t, mutable=["intermediates"]
         )
+        # One bulk readback (per-scalar device_get would round-trip the
+        # tunnel once per layer).
+        host = jax.device_get(variables["intermediates"])
 
         flat = {}
 
         def walk(tree, prefix):
             for k, v in tree.items():
                 if k == "spike_rate":
-                    flat[prefix.rstrip("/")] = float(jax.device_get(v[0]))
+                    flat[prefix.rstrip("/")] = float(v[0])
                 elif isinstance(v, dict):
                     walk(v, prefix + k + "/")
 
-        walk(variables["intermediates"], "")
+        walk(host, "")
         return flat
 
     def decode(self, raw_maps):
