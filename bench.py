@@ -155,6 +155,11 @@ if __name__ == "__main__":
     ap.add_argument("--cpu-probe", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--profile",
+        default=None,
+        help="write a jax.profiler trace of the measured loop to this dir",
+    )
     args = ap.parse_args()
 
     if args.cpu_probe:
@@ -173,7 +178,13 @@ if __name__ == "__main__":
     from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    res = measure(batch=args.batch or 16, iters=args.iters or 20)
+    if args.profile:
+        from snn_object_detectionddp_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            res = measure(batch=args.batch or 16, iters=args.iters or 20)
+    else:
+        res = measure(batch=args.batch or 16, iters=args.iters or 20)
     cpu = cpu_baseline()
 
     vs = (res["inference_fps"] / cpu["inference_fps"]) if cpu else None
