@@ -111,12 +111,12 @@ def train_code(cfg, detector: Detector) -> None:
     rng = jax.random.PRNGKey(cfg.training.seed)
     # Abstract template (no device work); real init only on fresh starts.
     template_state = jax.eval_shape(
-        lambda r: init_state(detector.init_params(r), tx), rng
+        lambda r: init_state(detector.init_params(r), tx, schedule), rng
     )
     state, start_epoch, best = resume_or_init(
         cfg,
         template_state,
-        init_fn=lambda: init_state(detector.init_params(rng), tx),
+        init_fn=lambda: init_state(detector.init_params(rng), tx, schedule),
     )
 
     train_loop(

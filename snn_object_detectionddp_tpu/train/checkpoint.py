@@ -105,7 +105,35 @@ def load_checkpoint(path: str | Path, template_state: dict) -> dict:
         "epoch": np.int32(0),
         "best_val_loss": np.float32(0),
     }
-    return serialization.from_bytes(template, Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError):
+        # Back-compat: checkpoint written by an older build whose train-state
+        # structure differs (e.g. pre-dynamic-schedule optimizer wrapper).
+        # Restore params/epoch/best_val_loss structurally from raw msgpack
+        # and keep the template's fresh optimizer/schedule state — the same
+        # semantics as the reference's resume, which restores only
+        # model_state_dict (main.py:140).
+        raw = serialization.msgpack_restore(data)
+        out = {
+            "state": dict(template_state),
+            "epoch": np.asarray(raw.get("epoch", 0), np.int32),
+            "best_val_loss": np.asarray(
+                raw.get("best_val_loss", np.inf), np.float32
+            ),
+        }
+        raw_params = raw.get("state", {}).get("params")
+        if raw_params is None:
+            raise
+        out["state"]["params"] = serialization.from_state_dict(
+            template_state["params"], raw_params
+        )
+        print(
+            "NOTE: legacy checkpoint layout; restored params only "
+            "(fresh optimizer/schedule state)."
+        )
+        return out
 
 
 def resume_or_init(

@@ -20,7 +20,7 @@ import optax
 from ..data.encoding import preprocess_video
 from ..losses.detection import DetectionLoss
 from ..parallel.mesh import batch_sharding, replicate_sharding
-from .schedule import onecycle_schedule
+from .schedule import onecycle_lr
 
 
 def make_optimizer(
@@ -29,20 +29,40 @@ def make_optimizer(
     weight_decay: float = 5e-4,
     grad_clip_norm: float = 10.0,
     pct_start: float = 0.3,
-) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    schedule = onecycle_schedule(peak_lr, total_steps, pct_start)
+):
+    """AdamW + OneCycle with *dynamic* schedule constants.
+
+    The LR is injected at step time from schedule constants stored in the
+    train state (see :func:`init_state`), so changing epochs / dataset size
+    / peak LR never recompiles the train step (each recompile costs minutes
+    on this host). Returns (tx, schedule) where ``schedule`` is a host-side
+    callable (for logging) that also carries ``.consts``.
+    """
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, weight_decay=weight_decay
+        ),
     )
-    return tx, schedule
+
+    class _Schedule:
+        consts = (float(max(total_steps, 1)), float(peak_lr), float(pct_start))
+
+        def __call__(self, step):
+            return onecycle_lr(step, *self.consts)
+
+    return tx, _Schedule()
 
 
-def init_state(params, tx: optax.GradientTransformation) -> dict:
+def init_state(
+    params, tx: optax.GradientTransformation, schedule=None
+) -> dict:
+    consts = getattr(schedule, "consts", (1000.0, 1e-4, 0.3))
     return {
         "params": params,
         "opt_state": tx.init(params),
         "step": jnp.zeros((), jnp.int32),
+        "sched": jnp.asarray(consts, jnp.float32),
     }
 
 
@@ -89,19 +109,30 @@ def make_step_fns(
         (_, lc), grads = jax.value_and_grad(objective, has_aux=True)(
             state["params"]
         )
-        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        # OneCycle LR from dynamic constants carried in the state.
+        sched = state["sched"]
+        lr = onecycle_lr(state["step"], sched[0], sched[1], sched[2])
+        opt_state = state["opt_state"]
+        if hasattr(opt_state[-1], "hyperparams"):  # injected AdamW path
+            inner = opt_state[-1]
+            inner = inner._replace(
+                hyperparams={**inner.hyperparams, "learning_rate": lr}
+            )
+            opt_state = opt_state[:-1] + (inner,)
+        updates, opt_state = tx.update(grads, opt_state, state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {
             "params": params,
             "opt_state": opt_state,
             "step": state["step"] + 1,
+            "sched": sched,
         }
         metrics = {
             "loss": lc.total,
             "box": lc.box,
             "cls": lc.cls,
             "dfl": lc.dfl,
-            "lr": schedule(state["step"]),
+            "lr": lr,
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics

@@ -49,7 +49,9 @@ def setup():
 
     def fresh_state():
         # train_step donates its state arg; every test needs its own copy.
-        return init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+        return init_state(
+            jax.tree.map(lambda x: x.copy(), params), tx, schedule
+        )
 
     return cfg, det, tx, schedule, fns, fresh_state
 
@@ -130,8 +132,8 @@ def test_dp_matches_single_device(setup):
     batch = _batch(np.random.RandomState(2), b=8)
 
     # Separate buffer copies: train_step donates its state argument.
-    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
-    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
     state_a, m_a = fns.train_step(state_a, batch)
     state_b, m_b = fns_dp.train_step(state_b, batch)
 
@@ -158,8 +160,8 @@ def test_remat_matches_baseline(setup):
     params = det.init_params(jax.random.PRNGKey(3))
     batch = _batch(np.random.RandomState(5))
 
-    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
-    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx)
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
     _, m_a = fns.train_step(state_a, batch)
     _, m_b = fns_remat.train_step(state_b, batch)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
