@@ -91,7 +91,11 @@ def detection_loss(
     gt_bboxes = cxcywh_to_xyxy(gt_cxcywh)
     mask_gt = label_mask & (jnp.sum(gt_cxcywh[..., 2:], axis=-1) > 0)
 
-    pd_scores = jax.nn.sigmoid(cls_logits)
+    # Assignment is a label-construction step, not a differentiable path:
+    # both inputs are detached (ultralytics detaches likewise). Without the
+    # score detach, grad(pow(score, 0.5)) -> inf once background sigmoids
+    # underflow to 0, NaN-ing the whole step.
+    pd_scores = jax.lax.stop_gradient(jax.nn.sigmoid(cls_logits))
     assign = task_aligned_assign(
         pd_scores,
         jax.lax.stop_gradient(pred_bboxes) * stride_t,  # pixels
@@ -100,6 +104,7 @@ def detection_loss(
         gt_bboxes,
         mask_gt,
     )
+    assign = jax.tree.map(jax.lax.stop_gradient, assign)
 
     target_scores_sum = jnp.maximum(jnp.sum(assign.target_scores), 1.0)
 

@@ -71,13 +71,14 @@ def test_gradient_descent_reduces_loss():
         return loss, [m - 0.05 * g for m, g in zip(maps, grads)]
 
     losses = []
-    for _ in range(25):
+    for _ in range(60):
         loss, maps = step(maps)
         losses.append(float(loss))
     assert all(np.isfinite(losses))
-    # cls dominates early descent; box/dfl co-evolve with confidence
-    # (faithful to v8 loss dynamics), so expect a solid but not drastic drop.
-    assert losses[-1] < 0.7 * losses[0]
+    # With the assigner detached (as in v8), targets adapt only through the
+    # re-assignment itself, so descent on raw maps is gradual but steady.
+    assert losses[-1] < 0.75 * losses[0]
+    assert losses[-1] < losses[24] < losses[0]
 
 
 def test_confident_background_lowers_cls_loss():
@@ -89,3 +90,21 @@ def test_confident_background_lowers_cls_loss():
     l_zero = float(detection_loss(maps, labels, mask, NC, REG_MAX).cls)
     l_neg = float(detection_loss(neg, labels, mask, NC, REG_MAX).cls)
     assert l_neg < l_zero
+
+
+def test_no_nan_with_extreme_logits():
+    """Confident background (very negative class logits, sigmoid underflow
+    to 0) must not NaN the gradient — regression test for the undetached
+    assigner (grad of pow(score, 0.5) at 0 is inf)."""
+    rng = np.random.RandomState(4)
+    maps = _raw_maps(rng, b=1, scale=0.1)
+    maps = [m.at[..., 4 * REG_MAX :].add(-120.0) for m in maps]  # sigmoid -> 0
+    labels = jnp.array([[[1.0, 0.5, 0.5, 0.5, 0.5]]])
+    mask = jnp.array([[True]])
+
+    loss, grads = jax.value_and_grad(
+        lambda ms: detection_loss(ms, labels, mask, NC, REG_MAX).total
+    )(maps)
+    assert np.isfinite(float(loss))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g))), "NaN/inf gradient"
