@@ -40,6 +40,24 @@ def flops_of(jitted_fn, *example_args) -> float:
     return float(cost.get("flops", 0.0))
 
 
+def device_memory_stats() -> dict:
+    """Per-device HBM usage (bytes) where the backend exposes it."""
+    import jax
+
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+        except Exception:
+            out[str(d)] = {}
+    return out
+
+
 class Stopwatch:
     """Segmented wall-clock accounting (reference: eval.py:62-91)."""
 
