@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import pairwise_iou
+from ..ops.boxes import ciou
 
 ALPHA = 0.5
 BETA = 6.0
@@ -74,7 +74,12 @@ def task_aligned_assign(
 
     # --- Candidate mask & alignment metric -------------------------------
     mask_in_gts = _candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
-    overlaps = pairwise_iou(gt_bboxes, pd_bboxes)  # (B, M, A)
+    # Alignment overlap is CIoU clamped at 0 (ultralytics convention) —
+    # center-distance-aware, so among equal-IoU candidates the better-
+    # centered prediction wins the assignment.
+    overlaps = ciou(
+        gt_bboxes[..., :, None, :], pd_bboxes[..., None, :, :]
+    )  # (B, M, A)
     overlaps = jnp.clip(overlaps, 0.0, None)
 
     gt_onehot = jax.nn.one_hot(gt_labels, nc, dtype=pd_scores.dtype)  # (B, M, nc)
