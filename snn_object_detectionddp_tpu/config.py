@@ -78,7 +78,13 @@ class SpikeConfig:
     """LIF neuron parameters (TPU/SNN extension; see models/lif.py)."""
 
     threshold: float = 1.0
-    decay: float = 0.5  # membrane leak factor per timestep
+    # Membrane leak per timestep. Low decay is the validated default for
+    # video (frame-as-timestep) mode: with strong decay the backbone
+    # membranes superimpose MOVING objects across frames and box regression
+    # degrades badly (A/B on synthetic DSEC: decay 0.5 -> val loss 104.6,
+    # decay 0.05 -> 51.8, and T=5 then beats single-frame training). The
+    # recurrent bottleneck carries the long-range temporal context instead.
+    decay: float = 0.05
     surrogate_slope: float = 4.0  # steepness of the surrogate derivative
     reset: str = "soft"  # "soft" (subtract threshold) or "hard" (to zero)
 
