@@ -164,8 +164,6 @@ def _build(dc_type, raw: Any):
                 f"Unknown config key '{key}' for section {dc_type.__name__}; "
                 f"valid keys: {sorted(fields)}"
             )
-        f = fields[key]
-        sub = f.type if isinstance(f.type, type) else None
         # Resolve dataclass field types (string annotations under __future__).
         resolved = _FIELD_TYPES.get((dc_type.__name__, key))
         if resolved is not None:
@@ -174,7 +172,6 @@ def _build(dc_type, raw: Any):
             kwargs[key] = tuple(int(v) for v in value)
         else:
             kwargs[key] = value
-        del sub
     obj = dc_type(**kwargs)
     _validate(obj)
     return obj

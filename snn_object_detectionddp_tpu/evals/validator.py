@@ -14,8 +14,6 @@ numpy.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 
