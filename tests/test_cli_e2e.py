@@ -1,0 +1,75 @@
+"""End-to-end CLI surface on the synthetic fixture (CPU, tiny shapes):
+train one epoch -> checkpoints appear -> resume -> evaluate -> visualize ->
+stitch video. The pytest-resident version of the manual TPU e2e runs."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root for main.py
+
+from snn_object_detectionddp_tpu.config import Config
+from snn_object_detectionddp_tpu.data.synthetic import make_dataset
+
+
+@pytest.fixture(scope="module")
+def e2e_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsec")
+    make_dataset(root, num_sequences=2, splits=("train", "test"), num_frames=5,
+                 height=48, width=64, num_objects=2, num_classes=2)
+    cfg = Config()
+    for split in ("train", "val"):
+        sc = cfg.dataset.split(split)
+        sc.path = str(root / "train")
+        sc.seq_len = 2
+    cfg.dataset.test.path = str(root / "test")
+    cfg.dataset.test.seq_len = 2
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.max_boxes = 8
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 2
+    cfg.training.num_workers = 1
+    cfg.training.save_dir = str(tmp_path_factory.mktemp("run"))
+    cfg.training.weights_path = str(Path(cfg.training.save_dir) / "latest.pt")
+    return cfg
+
+
+def test_cli_train_resume_eval_visualize_video(e2e_cfg):
+    import main as main_mod
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    cfg = e2e_cfg
+    detector = Detector.from_config(cfg)
+
+    # --- train one epoch ---
+    main_mod.train_code(cfg, detector)
+    save_dir = Path(cfg.training.save_dir)
+    assert (save_dir / "latest.pt").exists()
+    assert (save_dir / "best.pt").exists()
+
+    # --- resume for one more epoch ---
+    cfg.training.resume_training = True
+    cfg.training.epochs = 2
+    main_mod.train_code(cfg, detector)
+
+    # --- evaluate (mAP pipeline) ---
+    import eval_2
+
+    results = eval_2.evaluate(cfg)
+    assert np.isfinite(results["metrics/mAP50(B)"])
+
+    # --- visualize + video ---
+    main_mod.visualize_code(cfg, detector)
+    viz_dir = save_dir / "visualizations"
+    pngs = list(viz_dir.glob("*.png"))
+    assert len(pngs) > 0
+
+    from snn_object_detectionddp_tpu.viz.video import stitch_video
+
+    out = stitch_video(viz_dir, save_dir / "video/output.mp4")
+    assert Path(out).exists()
