@@ -131,6 +131,71 @@ def measure(batch: int, iters: int) -> dict:
     }
 
 
+def measure_eval_pipeline() -> float:
+    """BASELINE config #2: host decode -> device forward+NMS -> host mAP,
+    end-to-end frames/s over a synthetic DSEC fixture (flagship geometry
+    needs real DSEC; this uses the fixture's native size)."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.data.dsec import DSECIndex
+    from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
+    from snn_object_detectionddp_tpu.data.synthetic import make_dataset
+    from snn_object_detectionddp_tpu.evals.map import DetMetrics
+    from snn_object_detectionddp_tpu.evals.validator import make_predict_fn
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.ops.boxes import cxcywh_to_xyxy
+
+    root = Path(tempfile.mkdtemp()) / "dsec"
+    make_dataset(root, num_sequences=4, splits=("train",), num_frames=24,
+                 height=128, width=160, num_classes=3)
+    cfg = Config()
+    cfg.dataset.train.path = str(root / "train")
+    cfg.dataset.train.seq_len = T
+    cfg.model.num_classes = 3
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.max_boxes = 16
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    predict = make_predict_fn(detector)
+
+    index = DSECIndex(cfg, "train")
+    loader = BatchLoader(index, list(range(len(index))), batch_size=16,
+                         max_boxes=16, num_threads=4)
+    # Warm the compile, then time a full pass.
+    warm = next(iter(loader))
+    jax.device_get(predict(params, warm["images"]))
+
+    metrics = DetMetrics(cfg.model.num_classes)
+    n_frames = 0
+    t0 = _time.perf_counter()
+    for batch in loader:
+        out = jax.device_get(predict(params, batch["images"]))
+        h, w = batch["images"].shape[2:4]
+        scale = np.array([w, h, w, h], np.float32)
+        for i in range(len(batch["paths"])):
+            valid = out["valid"][i]
+            lm = batch["label_mask"][i]
+            gt = batch["labels"][i][lm]
+            gtb = (
+                np.asarray(cxcywh_to_xyxy(gt[:, 1:] * scale))
+                if gt.size
+                else np.zeros((0, 4))
+            )
+            metrics.update(
+                out["boxes"][i][valid], out["scores"][i][valid],
+                out["classes"][i][valid], gtb,
+                gt[:, 0] if gt.size else np.zeros(0),
+            )
+            n_frames += T
+    metrics.compute()
+    return n_frames / (_time.perf_counter() - t0)
+
+
 def cpu_baseline() -> dict | None:
     if CACHE_FILE.exists():
         return json.loads(CACHE_FILE.read_text())
@@ -160,6 +225,13 @@ if __name__ == "__main__":
         default=None,
         help="write a jax.profiler trace of the measured loop to this dir",
     )
+    ap.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="also measure the batched eval pipeline (decode -> forward -> "
+        "NMS -> mAP) end-to-end on a synthetic DSEC fixture "
+        "(BASELINE config #2)",
+    )
     args = ap.parse_args()
 
     if args.cpu_probe:
@@ -187,6 +259,10 @@ if __name__ == "__main__":
         res = measure(batch=args.batch or 16, iters=args.iters or 20)
     cpu = cpu_baseline()
 
+    pipeline_fps = None
+    if args.pipeline:
+        pipeline_fps = measure_eval_pipeline()
+
     vs = (res["inference_fps"] / cpu["inference_fps"]) if cpu else None
     report = {
         "metric": "frames/sec/chip @ T=4 (SNN detector forward, 480x640, bf16)",
@@ -202,4 +278,6 @@ if __name__ == "__main__":
         "batch": res["batch"],
         "backend": res["backend"],
     }
+    if pipeline_fps is not None:
+        report["eval_pipeline_fps"] = round(pipeline_fps, 2)
     print(json.dumps(report))
