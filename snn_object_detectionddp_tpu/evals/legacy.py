@@ -105,7 +105,9 @@ def process_sequence(
     def predict(params, image_u8, rec_state):
         frames = preprocess_video(image_u8[:, None])  # (1, B=1, H, W, 3)
         raw, new_state = detector.module.apply({"params": params}, frames, rec_state)
-        boxes, scores = decode_predictions(raw, reg_max, nc)
+        boxes, scores = decode_predictions(
+            raw, reg_max, nc, image_hw=image_u8.shape[1:3]
+        )
         out = batched_nms(boxes, scores, conf_thres=conf, iou_thres=iou, max_det=100)
         return out, new_state
 

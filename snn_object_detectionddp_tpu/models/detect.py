@@ -110,17 +110,34 @@ def flatten_predictions(
 
 
 def decode_predictions(
-    raw_maps: list[jnp.ndarray], reg_max: int, num_classes: int
+    raw_maps: list[jnp.ndarray],
+    reg_max: int,
+    num_classes: int,
+    image_hw: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Raw head maps -> (boxes_xyxy (B, A, 4) in pixels, scores (B, A, nc)).
 
     The inference-time equivalent of ultralytics Detect's eval-mode concat
     output (consumed by the reference at eval_2.py:108 and visualize.py:73).
+
+    Geometry note: when the input H/W is not a multiple of 64 (DSEC 480px),
+    the U-Net decoder's resize chain emits a P3 map of ceil-rounded size
+    (e.g. 64 rows for 480px -> the head's coordinate space is a uniformly
+    stretched 512px image; the loss trains in that same space). Pass
+    ``image_hw`` to rescale decoded boxes back to TRUE image pixels — every
+    inference call site must do this or y-coordinates are off by up to
+    H_map*8/H.
     """
     box_logits, cls_logits, anchor_points, stride_t = flatten_predictions(
         raw_maps, reg_max, num_classes
     )
     dist = dfl_expectation(box_logits, reg_max)  # (B, A, 4) grid units
     boxes = dist2bbox(dist, anchor_points) * stride_t  # (A,1) broadcasts over (B,A,4)
+    if image_hw is not None:
+        map_h = raw_maps[0].shape[1] * STRIDES[0]
+        map_w = raw_maps[0].shape[2] * STRIDES[0]
+        sy = image_hw[0] / map_h
+        sx = image_hw[1] / map_w
+        boxes = boxes * jnp.asarray([sx, sy, sx, sy], dtype=boxes.dtype)
     scores = jax.nn.sigmoid(cls_logits)
     return boxes, scores

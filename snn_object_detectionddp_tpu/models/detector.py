@@ -160,7 +160,7 @@ class Detector:
         else:
             raise ValueError(f"unknown encoding '{encoding}'")
         raw_maps, _ = self.apply(params, frames)
-        boxes, scores = self.decode(raw_maps)
+        boxes, scores = self.decode(raw_maps, image_hw=image_u8.shape[1:3])
         return batched_nms(
             boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
         )
@@ -187,8 +187,12 @@ class Detector:
         walk(host, "")
         return flat
 
-    def decode(self, raw_maps):
-        """Raw maps -> (boxes_xyxy pixels, class scores) for NMS."""
+    def decode(self, raw_maps, image_hw: tuple[int, int] | None = None):
+        """Raw maps -> (boxes_xyxy pixels, class scores) for NMS. Pass the
+        true ``image_hw`` for image-space boxes (see decode_predictions)."""
         return decode_predictions(
-            raw_maps, self.cfg.model.hyp.reg_max, self.cfg.model.num_classes
+            raw_maps,
+            self.cfg.model.hyp.reg_max,
+            self.cfg.model.num_classes,
+            image_hw=image_hw,
         )

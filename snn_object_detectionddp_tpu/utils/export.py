@@ -30,7 +30,9 @@ def build_serving_fn(detector, params, conf: float = 0.25, iou: float = 0.45,
         raw, _ = detector.module.apply({"params": params}, frames)
         from ..models.detect import decode_predictions
 
-        boxes, scores = decode_predictions(raw, reg_max, nc)
+        boxes, scores = decode_predictions(
+            raw, reg_max, nc, image_hw=images_u8.shape[2:4]
+        )
         return batched_nms(
             boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
         )

@@ -77,3 +77,32 @@ def test_detect_image_encodings(det_and_params):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_decode_true_image_space_odd_sizes(det_and_params):
+    """At input sizes not divisible by 64 the decoder's resize chain emits
+    enlarged head maps (e.g. 64 rows for 480px); decode with image_hw must
+    still place boxes in TRUE image pixels (regression: y-coords were
+    stretched by map_h*8/H at DSEC-native 480px)."""
+    import jax.numpy as jnp
+
+    from snn_object_detectionddp_tpu.models.detect import STRIDES
+    from snn_object_detectionddp_tpu.ops.anchors import make_anchors
+
+    det, params = det_and_params
+    rng = np.random.RandomState(3)
+    h, w = 80, 96  # 80 % 64 != 0 -> stretched maps
+    frames = rng.rand(2, 1, h, w, 3).astype(np.float32)
+    raw, _ = det.apply(params, frames)
+    assert raw[0].shape[1] * 8 != h  # the stretch actually happens here
+
+    boxes, scores = det.decode(raw, image_hw=(h, w))
+    b = np.asarray(boxes)
+    # Anchor centers in true image space must lie inside the image: check
+    # via the decoded boxes' centers spread (a zero-logit head decodes to
+    # boxes centered on the anchors).
+    centers_x = (b[..., 0] + b[..., 2]) / 2
+    centers_y = (b[..., 1] + b[..., 3]) / 2
+    assert centers_x.max() <= w + 1e-3
+    assert centers_y.max() <= h + 1e-3
+    assert centers_y.max() > h * 0.8  # anchors actually cover the image
