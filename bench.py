@@ -57,7 +57,10 @@ def _build(batch: int):
     def infer(params, images_u8):
         frames = preprocess_video(images_u8)
         raw, _ = detector.module.apply({"params": params}, frames)
-        return decode_predictions(raw, reg_max, nc)
+        # image_hw: decode to TRUE image pixels so the benchmarked program
+        # is exactly the production inference graph (boxes in 480px space,
+        # not the stretched 512px map space).
+        return decode_predictions(raw, reg_max, nc, image_hw=(IMG_H, IMG_W))
 
     tx, schedule = make_optimizer(1e-4, total_steps=1000)
     fns = make_step_fns(detector, tx, schedule)

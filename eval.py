@@ -34,6 +34,12 @@ if __name__ == "__main__":
         choices=["entire_model", "optical_flow"],
     )
     ap.add_argument("--stride", type=int, default=5)
+    ap.add_argument(
+        "--adaptive-stride",
+        action="store_true",
+        help="optical_flow method only: adapt the detector interval to "
+        "tracking IoU (the reference's '_dynamic' mode, eval.py:108-133)",
+    )
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--annotate", action="store_true")
     ap.add_argument("--weights", default=None)
@@ -57,6 +63,14 @@ if __name__ == "__main__":
         params = detector.init_params(jax.random.PRNGKey(0))
         print(f"WARNING: no checkpoint at {weights_path}; benchmarking fresh init.")
 
+    compute_stride = None
+    if args.adaptive_stride:
+        from snn_object_detectionddp_tpu.evals.legacy import (
+            default_adaptive_stride,
+        )
+
+        compute_stride = default_adaptive_stride
+
     report = process_dataset(
         cfg,
         detector,
@@ -65,5 +79,6 @@ if __name__ == "__main__":
         stride=args.stride,
         max_frames_per_seq=args.max_frames,
         annotate=args.annotate,
+        compute_stride=compute_stride,
     )
     print(json.dumps(report["aggregate"], indent=2))

@@ -29,7 +29,11 @@ from snn_object_detectionddp_tpu.data.dsec import (
 )
 from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
 from snn_object_detectionddp_tpu.models.detector import Detector
-from snn_object_detectionddp_tpu.parallel.mesh import host_shard_indices, make_mesh
+from snn_object_detectionddp_tpu.parallel.mesh import (
+    host_shard_indices,
+    local_batch_size,
+    make_mesh,
+)
 from snn_object_detectionddp_tpu.train.checkpoint import (
     load_checkpoint,
     resume_or_init,
@@ -59,15 +63,18 @@ def train_code(cfg, detector: Detector) -> None:
     if bs % n_dev:
         bs = -(-bs // n_dev) * n_dev
         print(f"Rounding batch_size up to {bs} (multiple of {n_dev} devices)")
+    # Multi-host: each process's loader feeds its LOCAL slice of the global
+    # batch; shard_batch assembles them into the global array (mesh.py).
+    bs_local = local_batch_size(bs)
 
     train_loader = BatchLoader(
-        index, train_idx, batch_size=bs, max_boxes=cfg.model.max_boxes,
+        index, train_idx, batch_size=bs_local, max_boxes=cfg.model.max_boxes,
         shuffle=True, seed=cfg.training.seed,
         num_threads=cfg.training.num_workers, prefetch=cfg.runtime.prefetch,
         drop_last=True,
     )
     val_loader = BatchLoader(
-        index, val_idx, batch_size=bs, max_boxes=cfg.model.max_boxes,
+        index, val_idx, batch_size=bs_local, max_boxes=cfg.model.max_boxes,
         shuffle=False, num_threads=cfg.training.num_workers,
         prefetch=cfg.runtime.prefetch,
     )

@@ -176,24 +176,44 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put: gives up when the consumer has abandoned the
+            # generator (GeneratorExit sets `stop`), so the producer thread
+            # and its decoded batches never leak (early `break` from a
+            # training loop, `next(iter(loader))`, etc.).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 try:
                     for chunk in chunks:
-                        q.put(self._make_batch([int(i) for i in chunk], pool))
+                        if stop.is_set():
+                            break
+                        if not _put(self._make_batch([int(i) for i in chunk], pool)):
+                            break
                 except Exception as e:  # surface decode errors to consumer
-                    q.put(e)
+                    _put(e)
                 finally:
-                    q.put(sentinel)
+                    _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join()

@@ -85,6 +85,26 @@ def model_flops(predict_fn, example_args) -> float:
 FARNEBACK_FLOPS_PER_PIXEL = 600.0
 
 
+def default_adaptive_stride(
+    prev_iou: float,
+    curr_iou: float,
+    stride: int,
+    lo: float = 0.4,
+    hi: float = 0.7,
+    max_stride: int = 10,
+) -> int:
+    """Default adaptive-stride policy for ``compute_stride`` hooks (the
+    reference leaves the hook user-supplied with an identity default,
+    eval.py:39-50; this is a working policy for its "_dynamic" mode):
+    tracking holding up (curr IoU >= hi) -> lengthen the detector interval;
+    tracking degrading (curr IoU < lo) -> halve it; otherwise keep."""
+    if curr_iou >= hi:
+        return min(stride + 1, max_stride)
+    if curr_iou < lo:
+        return max(stride // 2, 1)
+    return stride
+
+
 def process_sequence(
     detector,
     params,
@@ -96,8 +116,17 @@ def process_sequence(
     flow_method: str = "farneback",
     flow_downsample: float = 0.5,
     annotate_dir: str | None = None,
+    compute_stride=None,
 ) -> dict:
-    """Run one sequence; returns detections + timing/FLOPs stats."""
+    """Run one sequence; returns detections + timing/FLOPs stats.
+
+    ``compute_stride``: optional adaptive-stride hook
+    ``(prev_iou, curr_iou, current_stride) -> new_stride`` (reference:
+    eval.py:39-50,108-133). After every detector frame, the IoU between the
+    flow-propagated boxes and the fresh detections is fed to the hook and
+    the returned stride schedules the next detector frame; the visited
+    strides are reported as ``stride_list``. ``None`` keeps the fixed
+    ``stride`` (the reference's default hook is likewise identity)."""
     reg_max = detector.cfg.model.hyp.reg_max
     nc = detector.cfg.model.num_classes
 
@@ -120,6 +149,11 @@ def process_sequence(
     rec_state = None
     prev_frame = None
     boxes = np.zeros((0, 4), np.float32)
+    adaptive = compute_stride is not None
+    cur_stride = max(1, int(stride))
+    stride_list = [cur_stride]
+    next_det_idx = 0
+    prev_iou = 0.0
 
     t_total0 = time.perf_counter()
     for f_idx, path in enumerate(frame_paths):
@@ -128,7 +162,12 @@ def process_sequence(
         retrieval_time += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        if method == "entire_model" or f_idx % stride == 0:
+        detect_now = (
+            method == "entire_model"
+            or (f_idx >= next_det_idx if adaptive else f_idx % stride == 0)
+        )
+        if detect_now:
+            prev_boxes = boxes  # flow-propagated boxes before refresh
             out, rec_state = predict(
                 params, np.asarray(frame[None, :, :, ::-1]), rec_state
             )
@@ -136,6 +175,14 @@ def process_sequence(
             valid = out["valid"][0]
             boxes = out["boxes"][0][valid]
             det_count += 1
+            if adaptive and method != "entire_model":
+                curr_iou = compute_iou_list(prev_boxes, boxes)
+                cur_stride = max(
+                    1, int(compute_stride(prev_iou, curr_iou, cur_stride))
+                )
+                stride_list.append(cur_stride)
+                prev_iou = curr_iou
+                next_det_idx = f_idx + cur_stride
         else:
             flow = get_optical_flow(
                 prev_frame, frame, flow_method, flow_downsample
@@ -178,6 +225,7 @@ def process_sequence(
         "blended_flops_per_frame": blended,
         "det_count": det_count,
         "flow_count": flow_count,
+        "stride_list": stride_list,
     }
 
 
@@ -189,6 +237,7 @@ def process_dataset(
     stride: int = 5,
     max_frames_per_seq: int | None = None,
     annotate: bool = False,
+    compute_stride=None,
 ) -> dict:
     """Benchmark all test sequences; returns per-sequence and aggregate
     stats in the reference's report shape (eval.py:153-191)."""
@@ -215,7 +264,7 @@ def process_dataset(
         )
         stats = process_sequence(
             detector, params, paths, method=method, stride=stride,
-            annotate_dir=annotate_dir,
+            annotate_dir=annotate_dir, compute_stride=compute_stride,
         )
         results[seq_dir] = stats
         print(

@@ -28,10 +28,14 @@ from .map import DetMetrics
 EVAL_CONF = 0.001
 EVAL_IOU = 0.6
 EVAL_MAX_DET = 300
+# Pre-NMS candidate pool at eval thresholds: ultralytics keeps up to 30k
+# boxes before NMS (non_max_suppression max_nms); matching it keeps the
+# low-confidence tail that mAP at conf=0.001 depends on.
+EVAL_PRE_NMS_TOPK = 30000
 
 
 def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET,
-                    multi_label=False):
+                    multi_label=False, pre_nms_topk=EVAL_PRE_NMS_TOPK):
     """(params, images_u8 (B,T,H,W,3)) -> fixed-shape NMS dict, all jitted."""
     reg_max = detector.cfg.model.hyp.reg_max
     nc = detector.cfg.model.num_classes
@@ -50,6 +54,7 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
             iou_thres=iou,
             max_det=max_det,
             multi_label=multi_label,
+            pre_nms_topk=pre_nms_topk,
         )
 
     return predict

@@ -65,8 +65,21 @@ def detection_loss(
     gain_box: float = 7.5,
     gain_cls: float = 1.0,
     gain_dfl: float = 2.5,
+    sample_mask: jnp.ndarray | None = None,  # (B,) bool; False = padding row
 ) -> LossComponents:
-    batch = raw_maps[0].shape[0]
+    """``sample_mask`` excludes padding rows of a final partial batch (the
+    loader duplicates the last real image with zeroed labels,
+    data/pipeline.py) from every loss term: without it those rows are scored
+    as all-background BCE, biasing val loss — which drives best-checkpoint
+    selection. With the mask, the loss of a padded batch equals the loss of
+    the unpadded batch exactly (tested)."""
+    if sample_mask is None:
+        batch = jnp.asarray(float(raw_maps[0].shape[0]), jnp.float32)
+        row_w = None
+    else:
+        sample_mask = sample_mask.astype(jnp.float32)
+        batch = jnp.maximum(jnp.sum(sample_mask), 1.0)
+        row_w = sample_mask[:, None, None]  # (B, 1, 1)
     box_logits, cls_logits, anchor_points, stride_t = flatten_predictions(
         raw_maps, reg_max, num_classes
     )
@@ -110,11 +123,15 @@ def detection_loss(
 
     # --- Classification: BCE-with-logits against soft targets -------------
     bce = optax_sigmoid_bce(cls_logits, assign.target_scores)
+    if row_w is not None:  # zero padding rows' background BCE
+        bce = bce * row_w
     loss_cls = jnp.sum(bce) / target_scores_sum
 
     # --- Box regression: CIoU on foreground anchors ------------------------
     target_bboxes_grid = assign.target_bboxes / stride_t  # grid units
     weight = jnp.sum(assign.target_scores, axis=-1) * assign.fg_mask  # (B, A)
+    if row_w is not None:  # padding rows have no GT, but belt-and-braces
+        weight = weight * row_w[..., 0]
     iou = ciou(pred_bboxes, target_bboxes_grid)  # (B, A)
     loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
 
@@ -147,7 +164,9 @@ class DetectionLoss:
         self.reg_max = hyp.reg_max
         self.gains = (hyp.box, hyp.cls, hyp.dfl)
 
-    def __call__(self, raw_maps, labels, label_mask) -> LossComponents:
+    def __call__(
+        self, raw_maps, labels, label_mask, sample_mask=None
+    ) -> LossComponents:
         return detection_loss(
             raw_maps,
             labels,
@@ -155,4 +174,5 @@ class DetectionLoss:
             self.num_classes,
             self.reg_max,
             *self.gains,
+            sample_mask=sample_mask,
         )

@@ -27,10 +27,16 @@ import jax.numpy as jnp
 
 
 class LIFParams(NamedTuple):
-    """Static LIF neuron constants (config: model.spike)."""
+    """Static LIF neuron constants (config: model.spike).
+
+    Defaults match ``config.SpikeConfig`` — the single source of truth.
+    decay=0.05 is the validated default (commit cbc5ba3 A/B: val loss
+    104.6 -> 51.8 vs decay=0.5); constructing ``LIFParams()`` directly must
+    never silently reintroduce the known-bad hyperparameter.
+    """
 
     threshold: float = 1.0
-    decay: float = 0.5
+    decay: float = 0.05
     surrogate_slope: float = 4.0
     reset: str = "soft"  # "soft" | "hard"
 

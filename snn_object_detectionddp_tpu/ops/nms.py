@@ -21,56 +21,14 @@ from .boxes import pairwise_iou
 _CLS_OFFSET = 7680.0
 
 
-@partial(
-    jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "multi_label"),
-)
-def non_max_suppression(
-    boxes_xyxy: jnp.ndarray,
-    class_scores: jnp.ndarray,
-    conf_thres: float = 0.25,
-    iou_thres: float = 0.45,
-    max_det: int = 300,
-    multi_label: bool = False,
-) -> dict[str, jnp.ndarray]:
-    """Single-image fixed-shape NMS.
+# Above this pool size the k x k IoU matrix path switches to the greedy
+# O(max_det * k) path (memory O(k) instead of O(k^2)).
+_MATRIX_PATH_MAX_K = 4096
 
-    Args:
-      boxes_xyxy: (A, 4) decoded boxes in pixels.
-      class_scores: (A, nc) per-class confidences in [0, 1].
-      multi_label: if True a box may be emitted once per class above
-        threshold (reference: visualize.py:76); otherwise argmax class only.
 
-    Returns dict with fixed shapes:
-      boxes (max_det, 4), scores (max_det,), classes (max_det,) int32,
-      valid (max_det,) bool. Invalid slots have score 0 and class -1.
-    """
-    num_anchors, nc = class_scores.shape
-
-    if multi_label:
-        flat_scores = class_scores.reshape(-1)  # (A*nc,)
-        cand_cls = jnp.tile(jnp.arange(nc, dtype=jnp.int32), (num_anchors,))
-        cand_box_idx = jnp.repeat(
-            jnp.arange(num_anchors, dtype=jnp.int32), nc
-        )
-    else:
-        flat_scores = jnp.max(class_scores, axis=-1)  # (A,)
-        cand_cls = jnp.argmax(class_scores, axis=-1).astype(jnp.int32)
-        cand_box_idx = jnp.arange(num_anchors, dtype=jnp.int32)
-
-    conf_mask = flat_scores >= conf_thres
-    masked_scores = jnp.where(conf_mask, flat_scores, -1.0)
-
-    # Pre-NMS candidate pool: a few times max_det so that suppression does
-    # not starve the output (ultralytics keeps up to 30k; 4x max_det is
-    # ample at DSEC scale and keeps the IoU matrix small).
-    k = min(4 * max_det, masked_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
-    top_cls = cand_cls[top_idx]
-    top_boxes = boxes_xyxy[cand_box_idx[top_idx]]
-    top_valid = top_scores > 0.0
-
-    # Class-aware suppression via per-class coordinate offsets.
+def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
+    """Suppression over a precomputed IoU matrix — fastest for small pools."""
+    k = top_scores.shape[0]
     offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * _CLS_OFFSET)[
         :, None
     ]
@@ -93,12 +51,107 @@ def non_max_suppression(
     # Keep the top max_det survivors (scores of suppressed slots are 0).
     k_out = min(max_det, k)
     sort_scores, sort_idx = jax.lax.top_k(scores, k_out)
-    out = {
+    return {
         "boxes": boxes[sort_idx],
         "scores": sort_scores,
         "classes": classes[sort_idx],
         "valid": keep[sort_idx],
     }
+
+
+def _nms_greedy(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
+    """Greedy NMS via lax.scan: max_det sequential rounds of
+    (argmax score -> emit -> suppress one IoU row). Identical results to the
+    matrix path (tested), but memory is O(k), enabling ultralytics-sized
+    pre-NMS pools (30k) that the k x k matrix cannot hold."""
+    offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * _CLS_OFFSET)[
+        :, None
+    ]
+    scores0 = jnp.where(top_valid, top_scores, 0.0)
+
+    def body(scores, _):
+        i = jnp.argmax(scores)
+        s = scores[i]
+        valid = s > 0.0
+        iou_row = pairwise_iou(offset_boxes[i][None, :], offset_boxes)[0]
+        suppress = valid & (iou_row > iou_thres)  # includes self
+        scores = jnp.where(suppress, 0.0, scores).at[i].set(0.0)
+        return scores, (i, s, valid)
+
+    _, (idx, scores, valid) = jax.lax.scan(
+        body, scores0, None, length=max_det
+    )
+    return {
+        "boxes": jnp.where(valid[:, None], top_boxes[idx], 0.0),
+        "scores": jnp.where(valid, scores, 0.0),
+        "classes": jnp.where(valid, top_cls[idx], -1),
+        "valid": valid,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "max_det",
+        "multi_label",
+        "pre_nms_topk",
+    ),
+)
+def non_max_suppression(
+    boxes_xyxy: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    multi_label: bool = False,
+    pre_nms_topk: int | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Single-image fixed-shape NMS.
+
+    Args:
+      boxes_xyxy: (A, 4) decoded boxes in pixels.
+      class_scores: (A, nc) per-class confidences in [0, 1].
+      multi_label: if True a box may be emitted once per class above
+        threshold (reference: visualize.py:76); otherwise argmax class only.
+      pre_nms_topk: pre-NMS candidate pool size. Default 4*max_det (ample at
+        visualization thresholds). Eval at conf=0.001 should pass
+        ultralytics' 30000 so low-confidence candidates are kept for mAP
+        comparability (pools > 4096 take the O(k) greedy path).
+
+    Returns dict with fixed shapes:
+      boxes (max_det, 4), scores (max_det,), classes (max_det,) int32,
+      valid (max_det,) bool. Invalid slots have score 0 and class -1.
+    """
+    num_anchors, nc = class_scores.shape
+
+    if multi_label:
+        flat_scores = class_scores.reshape(-1)  # (A*nc,)
+        cand_cls = jnp.tile(jnp.arange(nc, dtype=jnp.int32), (num_anchors,))
+        cand_box_idx = jnp.repeat(
+            jnp.arange(num_anchors, dtype=jnp.int32), nc
+        )
+    else:
+        flat_scores = jnp.max(class_scores, axis=-1)  # (A,)
+        cand_cls = jnp.argmax(class_scores, axis=-1).astype(jnp.int32)
+        cand_box_idx = jnp.arange(num_anchors, dtype=jnp.int32)
+
+    conf_mask = flat_scores >= conf_thres
+    masked_scores = jnp.where(conf_mask, flat_scores, -1.0)
+
+    if pre_nms_topk is None:
+        pre_nms_topk = 4 * max_det
+    k = min(pre_nms_topk, masked_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_cls = cand_cls[top_idx]
+    top_boxes = boxes_xyxy[cand_box_idx[top_idx]]
+    top_valid = top_scores > 0.0
+
+    nms_fn = _nms_matrix if k <= _MATRIX_PATH_MAX_K else _nms_greedy
+    out = nms_fn(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det)
+
+    k_out = out["scores"].shape[0]
     if k_out < max_det:
         pad = max_det - k_out
         out = {
@@ -117,6 +170,7 @@ def batched_nms(
     iou_thres: float = 0.45,
     max_det: int = 300,
     multi_label: bool = False,
+    pre_nms_topk: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """vmap of :func:`non_max_suppression` over a leading batch axis."""
     fn = partial(
@@ -125,5 +179,6 @@ def batched_nms(
         iou_thres=iou_thres,
         max_det=max_det,
         multi_label=multi_label,
+        pre_nms_topk=pre_nms_topk,
     )
     return jax.vmap(fn)(boxes_xyxy, class_scores)

@@ -22,10 +22,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def init_distributed(coordinator: str | None = None) -> None:
-    """Multi-host initialization over DCN (no-op on a single host)."""
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization over DCN (no-op on a single host).
+
+    ``num_processes``/``process_id`` are optional overrides for
+    environments without cluster auto-detection (e.g. the 2-process CPU
+    test, tests/test_multiprocess.py); real TPU pods auto-detect both."""
     if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+        kwargs = {}
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
 def make_mesh(data: int = -1, devices: list | None = None) -> Mesh:
@@ -49,13 +62,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, sharded over the batch axis."""
+    """Place a host batch onto the mesh, sharded over the batch axis.
+
+    Single host: a plain ``device_put`` with the batch sharding. Multi-host:
+    each process passes its LOCAL slice of the global batch (leading dim =
+    global_bs // process_count, see :func:`local_batch_size`) and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    ``device_put`` cannot place onto non-addressable devices."""
     sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(np.asarray(v), sh)
+            for k, v in batch.items()
+            if k != "paths"
+        }
     return {
-        k: jax.device_put(np.asarray(v), sh)
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
         for k, v in batch.items()
         if k != "paths"
     }
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-process slice of the global batch each host's loader must feed
+    (the DistributedSampler-equivalent contract: global batch = concat of
+    per-host batches in process order)."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch_size {global_batch_size} not divisible by "
+            f"{n} processes"
+        )
+    return global_batch_size // n
 
 
 def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
@@ -76,7 +114,12 @@ def host_shard_indices(indices: list[int]) -> list[int]:
     per = -(-len(indices) // n)
     shard = list(indices[i * per : (i + 1) * per])
     # Pad the last host by wrapping so every host yields the same number of
-    # batches (collective steps must stay in lockstep).
-    while len(shard) < per and indices:
-        shard.append(indices[len(shard) % len(indices)])
+    # batches (collective steps must stay in lockstep). Wrap within the
+    # host's OWN shard (repeat-from-start, torch DistributedSampler
+    # semantics); only an entirely empty shard borrows from the global list.
+    base = tuple(shard) if shard else tuple(indices)
+    j = 0
+    while len(shard) < per and base:
+        shard.append(base[j % len(base)])
+        j += 1
     return shard

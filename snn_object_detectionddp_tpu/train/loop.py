@@ -49,17 +49,23 @@ def train_one_epoch(
 def validate_one_epoch(
     params, fns: TrainStepFns, loader, logger: MetricsLogger, epoch: int, mesh=None
 ):
+    """Returns (avg_loss, avg_components, first_batch). The first batch is
+    handed back so callers (spike-rate observability) can reuse it instead of
+    spinning up a fresh loader iteration per epoch."""
     total = 0.0
     comps = np.zeros(3)
     steps = len(loader)
+    first_batch = None
     pbar = tqdm(loader, desc="Validation", total=steps)
     for batch_idx, batch in enumerate(pbar):
+        if first_batch is None:
+            first_batch = batch
         m = jax.device_get(fns.eval_step(params, _device_batch(batch, mesh)))
         total += float(m["loss"])
         comps += np.array([m["box"], m["cls"], m["dfl"]])
         pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
         logger.val_batch(m, epoch * steps + batch_idx)
-    return total / max(steps, 1), comps / max(steps, 1)
+    return total / max(steps, 1), comps / max(steps, 1), first_batch
 
 
 def train_loop(
@@ -90,7 +96,7 @@ def train_loop(
         )
         print(f"Average Training Loss: {train_loss}")
 
-        val_loss, val_comps = validate_one_epoch(
+        val_loss, val_comps, first_val_batch = validate_one_epoch(
             state["params"], fns, val_loader, logger, epoch, mesh
         )
         print(f"Average Validation Loss: {val_loss}")
@@ -98,13 +104,15 @@ def train_loop(
         lr = float(schedule(jax.device_get(state["step"])))
         logger.epoch(epoch, train_loss, val_loss, train_comps, val_comps, lr)
 
-        # SNN observability: per-layer firing rates on one val batch.
-        if detector is not None:
+        # SNN observability: per-layer firing rates on one val batch —
+        # reusing the batch validation already fetched (a fresh
+        # next(iter(val_loader)) per epoch would spawn and abandon a
+        # producer thread + its prefetched decoded batches every epoch).
+        if detector is not None and first_val_batch is not None:
             try:
                 from ..data.encoding import preprocess_video
 
-                first = next(iter(val_loader))
-                frames = preprocess_video(first["images"])
+                frames = preprocess_video(first_val_batch["images"])
                 rates = detector.spike_rates(state["params"], frames)
                 for name, rate in rates.items():
                     writer.add_scalar(f"SpikeRates/{name}", rate, epoch)

@@ -103,7 +103,12 @@ def make_step_fns(
 
         def objective(params):
             raw_maps = loss_of(params, frames)
-            lc = loss_fn(raw_maps, batch["labels"], batch["label_mask"])
+            lc = loss_fn(
+                raw_maps,
+                batch["labels"],
+                batch["label_mask"],
+                sample_mask=batch.get("sample_mask"),
+            )
             return lc.total, lc
 
         (_, lc), grads = jax.value_and_grad(objective, has_aux=True)(
@@ -140,7 +145,12 @@ def make_step_fns(
     def _eval_step(params, batch):
         frames = preprocess_video(batch["images"])
         raw_maps = loss_of(params, frames)
-        lc = loss_fn(raw_maps, batch["labels"], batch["label_mask"])
+        lc = loss_fn(
+            raw_maps,
+            batch["labels"],
+            batch["label_mask"],
+            sample_mask=batch.get("sample_mask"),
+        )
         return {"loss": lc.total, "box": lc.box, "cls": lc.cls, "dfl": lc.dfl}
 
     def _forward(params, frames, rec_state=None):

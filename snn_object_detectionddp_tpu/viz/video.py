@@ -37,3 +37,37 @@ def stitch_video(
     writer.release()
     print(f"Video saved to {output_path} ({len(files)} frames @ {fps} fps)")
     return str(output_path)
+
+
+def frames_to_video(
+    frames,
+    output_path: str | Path,
+    fps: int = 30,
+    rgb: bool = True,
+) -> str:
+    """Write an in-memory frame stack (N, H, W, 3) to an MP4 (counterpart of
+    reference ``save_rgb_frames_to_video``, utils.py:639-667).
+
+    Accepts uint8 [0, 255] or float [0, 1] frames; ``rgb=True`` (the
+    reference's contract) converts to the BGR order cv2 expects.
+    """
+    import numpy as np
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (N, H, W, 3) frames, got {frames.shape}")
+    if frames.dtype != np.uint8:
+        scale = 255.0 if float(frames.max(initial=0.0)) <= 1.0 else 1.0
+        frames = np.clip(frames * scale, 0, 255).astype(np.uint8)
+
+    n, h, w, _ = frames.shape
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    writer = cv2.VideoWriter(
+        str(output_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for frame in frames:
+        writer.write(frame[:, :, ::-1] if rgb else frame)
+    writer.release()
+    print(f"Video saved to {output_path} ({n} frames @ {fps} fps)")
+    return str(output_path)

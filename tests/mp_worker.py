@@ -1,0 +1,75 @@
+"""Worker for the 2-process distributed CPU test (tests/test_multiprocess.py).
+
+Each process hosts 4 virtual CPU devices; together they form an 8-device
+global mesh over a real jax.distributed coordinator — exercising
+init_distributed, local_batch_size, shard_batch's
+make_array_from_process_local_data path, host_shard_indices, and a jitted
+cross-process reduction.
+
+Run: python tests/mp_worker.py <process_id> <coordinator_addr>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    coord = sys.argv[2]
+
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        host_shard_indices,
+        init_distributed,
+        local_batch_size,
+        make_mesh,
+        shard_batch,
+    )
+
+    init_distributed(coord, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    mesh = make_mesh()  # 8 global devices, 1-D data axis
+
+    # --- DistributedSampler-equivalent contract --------------------------
+    bs_local = local_batch_size(8)
+    assert bs_local == 4
+
+    idx = list(range(10))
+    shard = host_shard_indices(idx)
+    assert shard == ([0, 1, 2, 3, 4] if pid == 0 else [5, 6, 7, 8, 9]), shard
+    # Wrap-padding stays within the host's own shard.
+    shard9 = host_shard_indices(list(range(9)))
+    assert shard9 == ([0, 1, 2, 3, 4] if pid == 0 else [5, 6, 7, 8, 5]), shard9
+
+    # --- Global batch assembly from per-process local slices -------------
+    local = (np.arange(bs_local, dtype=np.float32) + 100.0 * pid).reshape(
+        bs_local, 1
+    )
+    batch = shard_batch({"x": local, "paths": ["ignored"]}, mesh)
+    x = batch["x"]
+    assert x.shape == (8, 1), x.shape  # global shape, not local
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    s = float(jax.device_get(total(x)))
+    expected = float(sum(range(4)) + sum(100 + i for i in range(4)))  # 412
+    assert s == expected, (s, expected)
+    print(f"MP_OK pid={pid} sum={s}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,5 @@
+import time
+
 import numpy as np
 import pytest
 
@@ -112,6 +114,29 @@ def test_batch_loader_shapes(fixture_root):
     last = batches[-1]
     assert last["sample_mask"].tolist() == [True, True, False, False]
     assert last["label_mask"][2:].sum() == 0
+
+
+def test_abandoned_iterator_joins_producer(fixture_root):
+    """Abandoning the generator (e.g. next(iter(loader)) or an early break)
+    must stop + join the producer thread instead of leaving it blocked on
+    q.put with prefetched decoded batches (advisor round-1 medium #1)."""
+    import threading
+
+    cfg = _config(fixture_root)
+    index = DSECIndex(cfg, "train")
+    loader = BatchLoader(
+        index, list(range(len(index))), batch_size=2, num_threads=2, prefetch=2
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # triggers GeneratorExit -> stop event -> join
+    # No producer threads may survive the closes.
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
 
 
 def test_test_mode_returns_paths(fixture_root):

@@ -63,3 +63,59 @@ def test_farneback_on_translated_frame():
     center = flow[16:48, 16:48]
     assert abs(float(np.median(center[..., 0])) - 4.0) < 1.5
     assert abs(float(np.median(center[..., 1]))) < 1.0
+
+
+def test_default_adaptive_stride_policy():
+    from snn_object_detectionddp_tpu.evals.legacy import default_adaptive_stride
+
+    # Tracking holding up -> lengthen (capped).
+    assert default_adaptive_stride(0.5, 0.8, 5) == 6
+    assert default_adaptive_stride(0.9, 0.9, 10, max_stride=10) == 10
+    # Degrading -> halve (floored at 1).
+    assert default_adaptive_stride(0.6, 0.2, 8) == 4
+    assert default_adaptive_stride(0.6, 0.0, 1) == 1
+    # Middling -> keep.
+    assert default_adaptive_stride(0.5, 0.55, 5) == 5
+
+
+def test_process_sequence_adaptive_stride(tmp_path):
+    """The compute_stride hook reschedules detector frames: a hook that
+    always returns 3 must yield detector frames at 0,3,6,... regardless of
+    the initial stride."""
+    import cv2
+    import jax
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.evals.legacy import process_sequence
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(7):
+        p = tmp_path / f"{i:06d}.png"
+        cv2.imwrite(str(p), rng.randint(0, 255, (64, 64, 3), np.uint8))
+        paths.append(str(p))
+
+    cfg = Config()
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.num_classes = 2
+    cfg.model.hyp.reg_max = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    calls = []
+
+    def hook(prev_iou, curr_iou, stride):
+        calls.append((prev_iou, curr_iou, stride))
+        return 3
+
+    stats = process_sequence(
+        detector, params, paths, method="optical_flow", stride=1,
+        compute_stride=hook,
+    )
+    # Detector frames at 0, 3, 6 -> 3 detections, 4 flow frames.
+    assert stats["det_count"] == 3
+    assert stats["flow_count"] == 4
+    assert stats["stride_list"] == [1, 3, 3, 3]
+    assert len(calls) == 3

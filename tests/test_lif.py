@@ -82,3 +82,17 @@ def test_spiking_path_carries_gradient():
     g = jax.grad(loss)(x)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).sum() > 0.0
+
+
+def test_default_decay_matches_config():
+    """LIFParams() defaults must equal the validated SpikeConfig defaults —
+    a direct construction must never silently reintroduce the known-bad
+    decay=0.5 (commit cbc5ba3 A/B: val loss 104.6 vs 51.8)."""
+    from snn_object_detectionddp_tpu.config import Config
+
+    spike_cfg = Config().model.spike
+    d = LIFParams()
+    assert d.decay == spike_cfg.decay
+    assert d.threshold == spike_cfg.threshold
+    assert d.surrogate_slope == spike_cfg.surrogate_slope
+    assert d.reset == spike_cfg.reset

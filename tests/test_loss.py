@@ -92,6 +92,47 @@ def test_confident_background_lowers_cls_loss():
     assert l_neg < l_zero
 
 
+def test_sample_mask_padded_batch_equals_unpadded():
+    """A final partial batch is padded by duplicating the last real image
+    with zeroed labels (data/pipeline.py); with sample_mask those padding
+    rows must not change the loss at all."""
+    rng = np.random.RandomState(5)
+    maps4 = _raw_maps(rng, b=4)
+    labels4 = jnp.zeros((4, 3, 5)).at[:, 0].set(
+        jnp.array([1.0, 0.5, 0.5, 0.4, 0.4])
+    )
+    lmask4 = jnp.zeros((4, 3), bool).at[:, 0].set(True)
+
+    # Unpadded 3-row batch.
+    out_real = detection_loss(
+        [m[:3] for m in maps4],
+        labels4[:3],
+        lmask4[:3],
+        NC,
+        REG_MAX,
+        sample_mask=jnp.ones((3,), bool),
+    )
+    # Same 3 rows padded to 4 by duplicating the last image, labels zeroed.
+    maps_pad = [jnp.concatenate([m[:3], m[2:3]], axis=0) for m in maps4]
+    labels_pad = labels4.at[3].set(0.0)
+    lmask_pad = lmask4.at[3].set(False)
+    out_pad = detection_loss(
+        maps_pad,
+        labels_pad,
+        lmask_pad,
+        NC,
+        REG_MAX,
+        sample_mask=jnp.array([True, True, True, False]),
+    )
+    np.testing.assert_allclose(float(out_pad.total), float(out_real.total), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_pad.vec3), np.asarray(out_real.vec3), rtol=1e-6)
+
+    # Without the mask, the padded batch is biased (extra background BCE
+    # scaled by a wrong batch multiplier).
+    out_nomask = detection_loss(maps_pad, labels_pad, lmask_pad, NC, REG_MAX)
+    assert abs(float(out_nomask.total) - float(out_real.total)) > 1e-3
+
+
 def test_no_nan_with_extreme_logits():
     """Confident background (very negative class logits, sigmoid underflow
     to 0) must not NaN the gradient — regression test for the undetached

@@ -40,3 +40,23 @@ def test_stitch_video_empty_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         stitch_video(tmp_path, tmp_path / "o.mp4")
+
+
+def test_frames_to_video(tmp_path):
+    from snn_object_detectionddp_tpu.viz.video import frames_to_video
+
+    rng = np.random.RandomState(0)
+    frames_u8 = rng.randint(0, 255, (5, 32, 48, 3), np.uint8)
+    out = frames_to_video(frames_u8, tmp_path / "u8.mp4", fps=10)
+    assert (tmp_path / "u8.mp4").stat().st_size > 0
+
+    # Float [0, 1] frames are scaled like the reference helper
+    # (utils.py:639-667).
+    frames_f = rng.rand(4, 32, 48, 3).astype(np.float32)
+    frames_to_video(frames_f, tmp_path / "f.mp4")
+    assert (tmp_path / "f.mp4").stat().st_size > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        frames_to_video(np.zeros((3, 32, 48)), tmp_path / "bad.mp4")
