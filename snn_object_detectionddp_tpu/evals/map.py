@@ -66,8 +66,13 @@ def match_predictions(
 
 
 def _compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
-    """101-point interpolated AP from raw PR points."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
+    """101-point interpolated AP from raw PR points.
+
+    The closing sentinel sits at ``recall[-1] + 0.01`` (ultralytics
+    convention), NOT at 1.0 — a sentinel at 1.0 collides with attained
+    recall when the last prediction is a TP and clips perfect detections
+    to AP 0.995 (caught by tests/test_map_oracle.py)."""
+    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01] if recall.size else [1.0]))
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)

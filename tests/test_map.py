@@ -76,6 +76,9 @@ def test_missed_gt_lowers_recall():
     m.update(preds, np.array([0.9]), np.zeros(1), gt, np.zeros(2))
     r = m.compute()
     assert abs(r["metrics/recall(B)"] - 0.5) < 1e-6
-    # ultralytics-style AP linearly interpolates from the last PR point to
-    # the (recall 1, precision 0) sentinel: 0.5 + 0.5*0.5 = 0.75.
-    assert abs(r["metrics/mAP50(B)"] - 0.75) < 0.01
+    # ultralytics convention: the precision-0 sentinel sits just past the
+    # last attained recall (recall[-1] + 0.01), so AP ~ attained recall *
+    # precision = 0.5, NOT a linear ramp to (1, 0) (which gave 0.75 and
+    # disagreed with both ultralytics and pycocotools — caught by the
+    # oracle cross-validation, tests/test_map_oracle.py).
+    assert abs(r["metrics/mAP50(B)"] - 0.505) < 0.01
