@@ -199,6 +199,188 @@ def measure_eval_pipeline() -> float:
     return n_frames / (_time.perf_counter() - t0)
 
 
+def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3) -> dict:
+    """Train-step time + device peak memory at long T, with/without chunked
+    remat (BASELINE config #5 "longer T"; VERDICT round-1 #6). Run in a
+    fresh subprocess per config (--longt-probe) so peak_bytes_in_use
+    isolates the config."""
+    import jax
+    import numpy as np
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = Config()
+    cfg.model.num_classes = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    tx, schedule = make_optimizer(1e-4, total_steps=1000)
+    fns = make_step_fns(detector, tx, schedule, remat_chunk=chunk)
+    state = init_state(params, tx)
+
+    rng = np.random.RandomState(0)
+    batch_data = jax.device_put(
+        {
+            "images": rng.randint(
+                0, 255, size=(batch, t, IMG_H, IMG_W, 3), dtype=np.uint8
+            ),
+            "labels": np.tile(
+                np.array([[1.0, 0.5, 0.5, 0.3, 0.3]], np.float32), (batch, 1, 1)
+            ),
+            "label_mask": np.ones((batch, 1), bool),
+            "sample_mask": np.ones((batch,), bool),
+        }
+    )
+    holder = {"state": state}
+
+    def step():
+        holder["state"], metrics = fns.train_step(holder["state"], batch_data)
+        return metrics
+
+    # Static memory analysis from the compiled program: the tunneled device
+    # exposes no runtime memory_stats, but XLA's compile-time accounting of
+    # temp (activation) allocations is exactly what remat trades.
+    mem = {}
+    try:
+        analysis = (
+            fns.train_step.lower(holder["state"], batch_data)
+            .compile()
+            .memory_analysis()
+        )
+        mem = {
+            "temp_gb": round(analysis.temp_size_in_bytes / 2**30, 3),
+            "argument_gb": round(analysis.argument_size_in_bytes / 2**30, 3),
+        }
+    except Exception:
+        pass
+
+    try:
+        step_s = _timeit(
+            step, lambda m: float(jax.device_get(m["loss"])), iters, warmup=1
+        )
+    except Exception as e:  # OOM at long T without remat is a valid result
+        return {"T": t, "chunk": chunk, "error": type(e).__name__, **mem}
+    stats = jax.local_devices()[0].memory_stats() or {}
+    row = {
+        "T": t,
+        "chunk": chunk,
+        "train_step_ms": round(step_s * 1e3, 2),
+        "frames_per_s": round(batch * t / step_s, 2),
+        **mem,
+    }
+    if stats.get("peak_bytes_in_use"):
+        row["peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    return row
+
+
+def longt_table(batch: int = 2) -> list[dict]:
+    """Fan the (T, chunk) grid out to subprocesses; collect one row each."""
+    rows = []
+    for t, chunk in ((16, 0), (16, 4), (32, 0), (32, 4), (32, 8)):
+        out = subprocess.run(
+            [sys.executable, __file__, "--longt-probe", f"{t},{chunk},{batch}"],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        try:
+            rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        except Exception:
+            rows.append({"T": t, "chunk": chunk or None, "error": "probe failed"})
+            print(out.stderr[-2000:], file=sys.stderr)
+        print(f"# longt {rows[-1]}", file=sys.stderr)
+    return rows
+
+
+def measure_streaming(n_frames: int = 200) -> dict:
+    """BASELINE config #4 perf: per-frame T=1 streaming latency/FPS with
+    carried recurrent state + host overlay draw (the video.py loop's steady
+    state, minus disk I/O)."""
+    import jax
+    import numpy as np
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.data.encoding import preprocess_video
+    from snn_object_detectionddp_tpu.models.detect import decode_predictions
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.ops.nms import batched_nms
+    from snn_object_detectionddp_tpu.viz.overlay import draw_bboxes
+
+    cfg = Config()
+    cfg.model.num_classes = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    reg_max, nc = cfg.model.hyp.reg_max, cfg.model.num_classes
+
+    @jax.jit
+    def predict(params, image_u8, rec_state):
+        frames = preprocess_video(image_u8[:, None])  # (1, 1, H, W, 3)
+        raw, new_state = detector.module.apply(
+            {"params": params}, frames, rec_state
+        )
+        boxes, scores = decode_predictions(
+            raw, reg_max, nc, image_hw=(IMG_H, IMG_W)
+        )
+        out = batched_nms(
+            boxes, scores, conf_thres=0.3, iou_thres=0.45, max_det=100
+        )
+        return out, new_state
+
+    rng = np.random.RandomState(0)
+    frames_host = rng.randint(
+        0, 255, size=(8, 1, IMG_H, IMG_W, 3), dtype=np.uint8
+    )  # cycle 8 distinct frames
+    # Pre-place on device: this machine reaches the chip through a tunnel
+    # with ~26 ms RTT and ~1 MB/frame upload, neither of which exists on a
+    # real TPU host (PCIe/DMA + local runtime). Same rationale as _build.
+    frames = [jax.device_put(f) for f in frames_host]
+    rec_state = None
+    out, rec_state = predict(params, frames[0], rec_state)  # compile
+    jax.device_get(out)
+
+    # (a) Synchronous per-frame loop incl. host overlay draw — the honest
+    # end-to-end number on THIS host (tunnel RTT bound here).
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        f0 = time.perf_counter()
+        out, rec_state = predict(params, frames[i % 8], rec_state)
+        host = jax.device_get(out)
+        valid = host["valid"][0]
+        _ = draw_bboxes(
+            frames_host[i % 8][0],
+            host["boxes"][0][valid],
+            host["scores"][0][valid],
+            host["classes"][0][valid],
+        )
+        lat.append(time.perf_counter() - f0)
+    total = time.perf_counter() - t0
+    lat_ms = np.array(lat) * 1e3
+
+    # (b) Device-paced: frames are chained by the carried recurrent state,
+    # so dispatching N steps and draining once measures true sequential
+    # per-frame chip latency without one tunnel round-trip per frame.
+    out, rec_state = predict(params, frames[0], rec_state)
+    jax.device_get(out["scores"][0, 0])
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        out, rec_state = predict(params, frames[i % 8], rec_state)
+    jax.device_get(out["scores"][0, 0])  # drain
+    device_total = time.perf_counter() - t0
+
+    return {
+        "streaming_fps": round(n_frames / total, 2),
+        "streaming_latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
+        "streaming_latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 2),
+        "streaming_fps_device": round(n_frames / device_total, 2),
+    }
+
+
 def cpu_baseline() -> dict | None:
     if CACHE_FILE.exists():
         return json.loads(CACHE_FILE.read_text())
@@ -235,7 +417,30 @@ if __name__ == "__main__":
         "NMS -> mAP) end-to-end on a synthetic DSEC fixture "
         "(BASELINE config #2)",
     )
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="also measure per-frame T=1 streaming inference with carried "
+        "state + overlay draw (BASELINE config #4)",
+    )
+    ap.add_argument(
+        "--longt",
+        action="store_true",
+        help="also measure long-T train-step time/memory with and without "
+        "chunked remat (T=16/32; BASELINE config #5)",
+    )
+    ap.add_argument("--longt-probe", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.longt_probe:
+        from snn_object_detectionddp_tpu.utils.cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+        t, chunk, batch = (int(x) for x in args.longt_probe.split(","))
+        print(json.dumps(measure_longt(t, chunk or None, batch)))
+        sys.exit(0)
 
     if args.cpu_probe:
         import jax
@@ -283,4 +488,8 @@ if __name__ == "__main__":
     }
     if pipeline_fps is not None:
         report["eval_pipeline_fps"] = round(pipeline_fps, 2)
+    if args.streaming:
+        report.update(measure_streaming())
+    if args.longt:
+        report["longt"] = longt_table()
     print(json.dumps(report))

@@ -112,7 +112,8 @@ def train_code(cfg, detector: Detector) -> None:
 
         enable_nan_debugging()
     fns = make_step_fns(
-        detector, tx, schedule, mesh=mesh, remat=cfg.training.remat
+        detector, tx, schedule, mesh=mesh, remat=cfg.training.remat,
+        remat_chunk=cfg.training.remat_chunk or None,
     )
 
     rng = jax.random.PRNGKey(cfg.training.seed)

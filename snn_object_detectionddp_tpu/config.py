@@ -56,7 +56,10 @@ class TrainingConfig:
     # TPU extensions
     grad_clip_norm: float = 10.0  # reference: train.py:77
     pct_start: float = 0.3  # OneCycle warmup fraction (reference: train.py:167)
-    remat: bool = False  # jax.checkpoint over the temporal scan for long T
+    remat: bool = False  # jax.checkpoint over the whole temporal forward
+    # Long-T BPTT: checkpoint per time-chunk of this size (activation memory
+    # scales with one chunk, not the window). 0 = off. T % chunk must be 0.
+    remat_chunk: int = 0
     param_groups: bool = False  # discriminative LR groups (train/param_groups.py)
     save_every_epochs: int = 1  # checkpoint write cadence; the best state is
     # snapshotted on-device at every improvement regardless, so best.pt is

@@ -158,3 +158,30 @@ def run_lif(
             v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
         return lif_scan_pallas(x_t, v0, p, False)
     return lif_scan(x_t, p, v0)
+
+
+def run_affine_lif(
+    x_t: jnp.ndarray,  # (T, B, H, W, C) raw conv outputs
+    a: jnp.ndarray,  # (T, B, C) scale
+    b: jnp.ndarray,  # (T, B, C) shift
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching entry for the fused normalize+LIF stage: on TPU (and
+    lane-compatible shapes) the GroupNorm normalize pass runs inside the
+    LIF kernel's time loop (kernels/affine_lif_pallas.py) — the normalized
+    tensor never touches HBM. Elsewhere, the equivalent XLA broadcast+scan."""
+    from ..kernels.affine_lif_pallas import (
+        affine_lif_pallas,
+        affine_lif_xla,
+        supported,
+    )
+
+    if v0 is None:
+        v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
+    impl = _LIF_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and supported(x_t.shape):
+        return affine_lif_pallas(x_t, a, b, v0, p, False)
+    return affine_lif_xla(x_t, a, b, v0, p)

@@ -78,25 +78,73 @@ def make_step_fns(
     schedule: optax.Schedule,
     mesh=None,
     remat: bool = False,
+    remat_chunk: int | None = None,
 ) -> TrainStepFns:
     """Build jitted step functions bound to a Detector + optimizer.
 
     ``mesh``: optional 1-D data mesh; when given, steps are compiled with
     replicated state and batch-sharded inputs (DP over ICI).
+
+    ``remat_chunk``: long-T BPTT memory control — split the T axis into
+    chunks of this size; each chunk's forward is a jax.checkpoint region
+    whose boundary carry is the (small) recurrent state, so backward-pass
+    activation memory scales with ONE chunk instead of the whole window
+    (SURVEY §5 long-context row). Exact same math as the unchunked forward:
+    streaming==window equivalence of the carried state is a model invariant
+    (tests/test_streaming.py), and detection maps come from the last
+    timestep only, so XLA dead-code-eliminates the decoder/head for all
+    non-final chunks. T must be a multiple of ``remat_chunk``.
+    ``remat`` (bool) keeps the legacy whole-forward checkpoint.
     """
     cfg = detector.cfg
     loss_fn = DetectionLoss(cfg.model.num_classes, cfg.model.hyp)
 
-    apply_fn = detector.module.apply
-    if remat:
-        apply_fn = jax.checkpoint(
-            lambda variables, frames: detector.module.apply(variables, frames),
-            static_argnums=(),
+    if remat_chunk:
+        ckpt_apply = jax.checkpoint(
+            lambda params, chunk, state: detector.module.apply(
+                {"params": params}, chunk, state
+            )
         )
 
-    def loss_of(params, frames):
-        raw_maps, _ = apply_fn({"params": params}, frames)
-        return raw_maps
+        def loss_of(params, frames):
+            t, c = frames.shape[0], remat_chunk
+            if t % c:
+                raise ValueError(f"T={t} not a multiple of remat_chunk={c}")
+            n = t // c
+            # First chunk runs with state=None (the module builds its zero
+            # state internally) and yields the concrete carry structure.
+            raw_maps, state = ckpt_apply(params, frames[:c], None)
+            if n == 1:
+                return raw_maps
+            if n > 2:
+                mid = frames[c : (n - 1) * c].reshape(
+                    n - 2, c, *frames.shape[1:]
+                )
+
+                def body(carry, chunk):
+                    # Middle chunks only advance the recurrent state; their
+                    # (unused) detection maps are DCE'd from the scan body.
+                    _, new_state = ckpt_apply(params, chunk, carry)
+                    return new_state, None
+
+                state, _ = jax.lax.scan(body, state, mid)
+            # Final chunk: maps of its last timestep are the window's output.
+            last_raw, _ = ckpt_apply(params, frames[(n - 1) * c :], state)
+            return last_raw
+
+    else:
+        apply_fn = detector.module.apply
+        if remat:
+            apply_fn = jax.checkpoint(
+                lambda variables, frames: detector.module.apply(
+                    variables, frames
+                ),
+                static_argnums=(),
+            )
+
+        def loss_of(params, frames):
+            raw_maps, _ = apply_fn({"params": params}, frames)
+            return raw_maps
 
     def _train_step(state, batch):
         frames = preprocess_video(batch["images"])  # (T, B, H, W, 3)

@@ -1,0 +1,141 @@
+"""Equivalence tests for the fused affine+LIF Pallas kernel
+(kernels/affine_lif_pallas.py) against the XLA reference path, forward and
+backward, in interpret mode (CPU) — the same strategy as tests/test_pallas.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snn_object_detectionddp_tpu.kernels.affine_lif_pallas import (
+    affine_lif_pallas,
+    affine_lif_xla,
+    pick_tiles,
+    supported,
+)
+from snn_object_detectionddp_tpu.models.lif import LIFParams
+
+PARAMS = [
+    LIFParams(threshold=1.0, decay=0.05, surrogate_slope=4.0, reset="soft"),
+    LIFParams(threshold=0.7, decay=0.9, surrogate_slope=2.0, reset="hard"),
+]
+# (T, B, H, W, C) with W*C % 128 == 0; H deliberately not a TILE_H multiple
+# in one case to exercise row padding.
+SHAPES = [(3, 2, 16, 8, 16), (4, 1, 10, 4, 32), (2, 2, 32, 2, 64)]
+
+
+def _inputs(shape, dtype, seed=0):
+    rng = np.random.RandomState(seed)
+    t, b, h, w, c = shape
+    x = jnp.asarray(rng.randn(*shape) * 1.2, dtype)
+    a = jnp.asarray(1.0 + 0.3 * rng.randn(t, b, c), jnp.float32)
+    bb = jnp.asarray(0.2 * rng.randn(t, b, c), jnp.float32)
+    v0 = jnp.asarray(rng.randn(b, h, w, c) * 0.3, jnp.float32)
+    return x, a, bb, v0
+
+
+@pytest.mark.parametrize("p", PARAMS)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_xla(p, shape):
+    x, a, b, v0 = _inputs(shape, jnp.float32)
+    s_ref, v_ref = affine_lif_xla(x, a, b, v0, p)
+    s_k, v_k = affine_lif_pallas(x, a, b, v0, p, True)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("p", PARAMS)
+def test_backward_matches_xla(p):
+    shape = (3, 2, 10, 4, 32)
+    x, a, b, v0 = _inputs(shape, jnp.float32, seed=1)
+
+    def loss_ref(x, a, b, v0):
+        s, v = affine_lif_xla(x, a, b, v0, p)
+        return jnp.sum(s * 0.7) + jnp.sum(v * 1.3)
+
+    def loss_k(x, a, b, v0):
+        s, v = affine_lif_pallas(x, a, b, v0, p, True)
+        return jnp.sum(s * 0.7) + jnp.sum(v * 1.3)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, a, b, v0)
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, a, b, v0)
+    for name, gr, gk in zip(("dx", "da", "db", "dv0"), g_ref, g_k):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), atol=2e-5, err_msg=name
+        )
+
+
+def test_bf16_currents():
+    p = PARAMS[0]
+    shape = (4, 1, 16, 4, 32)
+    x, a, b, v0 = _inputs(shape, jnp.bfloat16, seed=2)
+    s_ref, v_ref = affine_lif_xla(x, a, b, v0, p)
+    s_k, v_k = affine_lif_pallas(x, a, b, v0, p, True)
+    assert s_k.dtype == jnp.bfloat16
+    # bf16 rounding of the affine output can flip knife-edge threshold
+    # crossings; require near-total agreement instead of exact.
+    agree = np.mean(
+        np.asarray(s_k, np.float32) == np.asarray(s_ref, np.float32)
+    )
+    assert agree > 0.999
+    np.testing.assert_allclose(
+        np.asarray(v_k), np.asarray(v_ref), atol=1e-2
+    )
+
+
+def test_supported_and_chunking():
+    assert supported((4, 1, 120, 160, 48))  # stem1: W*C = 7680
+    assert supported((4, 1, 15, 20, 512))
+    assert not supported((4, 1, 8, 10, 12))  # 120 lanes
+    # Every backbone (H, WC, T): tiles must divide exactly (no padding) and
+    # the bf16 time-block must fit the VMEM budget.
+    for h, wc, t in (
+        (120, 7680, 4),
+        (120, 15360, 4),
+        (60, 10240, 4),
+        (30, 10240, 16),
+        (15, 10240, 5),
+        (7, 128, 2),
+    ):
+        tile_h, chunk = pick_tiles(h, wc, t)
+        assert chunk % 128 == 0 and wc % chunk == 0
+        assert h % tile_h == 0
+        assert tile_h % 8 == 0 or tile_h == h
+        assert t * tile_h * chunk * 2 <= 4 * 1024 * 1024
+
+
+def test_spiking_conv_block_matches_legacy_groupnorm():
+    """The split-GN SpikingConvBlock must compute exactly what the previous
+    conv -> nn.GroupNorm(eps=1e-6) -> run_lif composition computed (fp32)."""
+    from flax import linen as nn
+
+    from snn_object_detectionddp_tpu.models.layers import (
+        SpikingConvBlock,
+        _num_groups,
+    )
+    from snn_object_detectionddp_tpu.models.lif import lif_scan
+
+    p = LIFParams(threshold=1.0, decay=0.05, surrogate_slope=4.0, reset="soft")
+    t, b, h, w, cin, cout = 2, 2, 8, 8, 16, 32
+    rng = np.random.RandomState(0)
+    x_t = jnp.asarray(rng.randn(t, b, h, w, cin), jnp.float32)
+
+    block = SpikingConvBlock(cout, p, dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x_t)["params"]
+    s_new, v_new = block.apply({"params": params}, x_t)
+
+    # Legacy composition with identical conv kernel + GN affine params.
+    conv = nn.Conv(cout, (3, 3), padding="SAME", use_bias=False,
+                   dtype=jnp.float32, param_dtype=jnp.float32)
+    gn = nn.GroupNorm(num_groups=_num_groups(cout), epsilon=1e-6,
+                      dtype=jnp.float32)
+    y = conv.apply({"params": params["Conv_0"]}, x_t.reshape(t * b, h, w, cin))
+    y = gn.apply(
+        {"params": {"scale": params["gn_scale"], "bias": params["gn_bias"]}},
+        y,
+    )
+    s_ref, v_ref = lif_scan(y.reshape(t, b, h, w, cout), p)
+
+    np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref), atol=1e-5)

@@ -174,3 +174,42 @@ def test_host_shard_indices_single_host():
     from snn_object_detectionddp_tpu.parallel.mesh import host_shard_indices
 
     assert host_shard_indices([3, 1, 4, 1, 5]) == [3, 1, 4, 1, 5]
+
+
+def test_remat_chunk_matches_baseline(setup):
+    """Chunked long-T remat (training.remat_chunk) must be bit-equivalent
+    math to the unchunked forward: same loss and grad norm at T=16 with
+    chunk sizes 4 and 8 (VERDICT round-1 #6 / SURVEY §5 long-context)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    params = det.init_params(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(9), t=16)
+
+    results = {}
+    for chunk in (None, 4, 8, 16):
+        fns_c = make_step_fns(det, tx, schedule, remat_chunk=chunk)
+        state = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+        _, m = fns_c.train_step(state, batch)
+        results[chunk] = (float(m["loss"]), float(m["grad_norm"]))
+
+    base = results[None]
+    for chunk in (4, 8, 16):
+        np.testing.assert_allclose(results[chunk][0], base[0], rtol=1e-4)
+        np.testing.assert_allclose(results[chunk][1], base[1], rtol=1e-3)
+
+
+def test_remat_chunk_rejects_indivisible_t(setup):
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    fns_c = make_step_fns(det, tx, schedule, remat_chunk=3)
+    params = det.init_params(jax.random.PRNGKey(0))
+    state = init_state(params, tx, schedule)
+    batch = _batch(np.random.RandomState(0), t=4)
+    with pytest.raises(ValueError, match="remat_chunk"):
+        fns_c.train_step(state, batch)
