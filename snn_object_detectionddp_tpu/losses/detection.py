@@ -66,20 +66,31 @@ def detection_loss(
     gain_cls: float = 1.0,
     gain_dfl: float = 2.5,
     sample_mask: jnp.ndarray | None = None,  # (B,) bool; False = padding row
+    cross_replica_axis: str | None = None,
 ) -> LossComponents:
     """``sample_mask`` excludes padding rows of a final partial batch (the
     loader duplicates the last real image with zeroed labels,
     data/pipeline.py) from every loss term: without it those rows are scored
     as all-background BCE, biasing val loss — which drives best-checkpoint
     selection. With the mask, the loss of a padded batch equals the loss of
-    the unpadded batch exactly (tested)."""
+    the unpadded batch exactly (tested).
+
+    ``cross_replica_axis``: name of a shard_map mesh axis the batch is split
+    over. Every normalization sum (loss-term sums, target_scores_sum, batch
+    count) is psum'd over that axis BEFORE the divisions, so each replica
+    computes the exact GLOBAL-batch loss — data-parallel training is
+    bit-identical math to single-device training, not a mean-of-local-means
+    approximation (tests/test_train.py)."""
     if sample_mask is None:
         batch = jnp.asarray(float(raw_maps[0].shape[0]), jnp.float32)
         row_w = None
     else:
         sample_mask = sample_mask.astype(jnp.float32)
-        batch = jnp.maximum(jnp.sum(sample_mask), 1.0)
+        batch = jnp.sum(sample_mask)
         row_w = sample_mask[:, None, None]  # (B, 1, 1)
+    if cross_replica_axis is not None:
+        batch = jax.lax.psum(batch, cross_replica_axis)
+    batch = jnp.maximum(batch, 1.0)
     box_logits, cls_logits, anchor_points, stride_t = flatten_predictions(
         raw_maps, reg_max, num_classes
     )
@@ -119,13 +130,13 @@ def detection_loss(
     )
     assign = jax.tree.map(jax.lax.stop_gradient, assign)
 
-    target_scores_sum = jnp.maximum(jnp.sum(assign.target_scores), 1.0)
+    target_scores_sum = jnp.sum(assign.target_scores)
 
     # --- Classification: BCE-with-logits against soft targets -------------
     bce = optax_sigmoid_bce(cls_logits, assign.target_scores)
     if row_w is not None:  # zero padding rows' background BCE
         bce = bce * row_w
-    loss_cls = jnp.sum(bce) / target_scores_sum
+    sum_cls = jnp.sum(bce)
 
     # --- Box regression: CIoU on foreground anchors ------------------------
     target_bboxes_grid = assign.target_bboxes / stride_t  # grid units
@@ -133,12 +144,23 @@ def detection_loss(
     if row_w is not None:  # padding rows have no GT, but belt-and-braces
         weight = weight * row_w[..., 0]
     iou = ciou(pred_bboxes, target_bboxes_grid)  # (B, A)
-    loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+    sum_box = jnp.sum((1.0 - iou) * weight)
 
     # --- DFL ----------------------------------------------------------------
     target_ltrb = bbox2dist(target_bboxes_grid, anchor_points, reg_max)
     dfl = _dfl_loss(pred_dist, target_ltrb)  # (B, A)
-    loss_dfl = jnp.sum(dfl * weight) / target_scores_sum
+    sum_dfl = jnp.sum(dfl * weight)
+
+    # Normalize by GLOBAL sums: under data-parallel shard_map the divisions
+    # happen after a cross-replica psum, reproducing the single-device math.
+    if cross_replica_axis is not None:
+        target_scores_sum, sum_cls, sum_box, sum_dfl = jax.lax.psum(
+            (target_scores_sum, sum_cls, sum_box, sum_dfl), cross_replica_axis
+        )
+    target_scores_sum = jnp.maximum(target_scores_sum, 1.0)
+    loss_cls = sum_cls / target_scores_sum
+    loss_box = sum_box / target_scores_sum
+    loss_dfl = sum_dfl / target_scores_sum
 
     box = loss_box * gain_box
     cls = loss_cls * gain_cls
@@ -165,7 +187,12 @@ class DetectionLoss:
         self.gains = (hyp.box, hyp.cls, hyp.dfl)
 
     def __call__(
-        self, raw_maps, labels, label_mask, sample_mask=None
+        self,
+        raw_maps,
+        labels,
+        label_mask,
+        sample_mask=None,
+        cross_replica_axis=None,
     ) -> LossComponents:
         return detection_loss(
             raw_maps,
@@ -175,4 +202,5 @@ class DetectionLoss:
             self.reg_max,
             *self.gains,
             sample_mask=sample_mask,
+            cross_replica_axis=cross_replica_axis,
         )

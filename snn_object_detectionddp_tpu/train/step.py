@@ -19,7 +19,6 @@ import optax
 
 from ..data.encoding import preprocess_video
 from ..losses.detection import DetectionLoss
-from ..parallel.mesh import batch_sharding, replicate_sharding
 from .schedule import onecycle_lr
 
 
@@ -146,7 +145,7 @@ def make_step_fns(
             raw_maps, _ = apply_fn({"params": params}, frames)
             return raw_maps
 
-    def _train_step(state, batch):
+    def _train_step(state, batch, axis=None):
         frames = preprocess_video(batch["images"])  # (T, B, H, W, 3)
 
         def objective(params):
@@ -156,12 +155,19 @@ def make_step_fns(
                 batch["labels"],
                 batch["label_mask"],
                 sample_mask=batch.get("sample_mask"),
+                cross_replica_axis=axis,
             )
             return lc.total, lc
 
         (_, lc), grads = jax.value_and_grad(objective, has_aux=True)(
             state["params"]
         )
+        if axis is not None:
+            # Each replica holds d(global loss)/d(params) restricted to its
+            # own batch shard; the psum assembles the full gradient (the
+            # loss itself is already the global-batch loss — see
+            # detection_loss(cross_replica_axis=...)).
+            grads = jax.lax.psum(grads, axis)
         # OneCycle LR from dynamic constants carried in the state.
         sched = state["sched"]
         lr = onecycle_lr(state["step"], sched[0], sched[1], sched[2])
@@ -190,7 +196,7 @@ def make_step_fns(
         }
         return new_state, metrics
 
-    def _eval_step(params, batch):
+    def _eval_step(params, batch, axis=None):
         frames = preprocess_video(batch["images"])
         raw_maps = loss_of(params, frames)
         lc = loss_fn(
@@ -198,6 +204,7 @@ def make_step_fns(
             batch["labels"],
             batch["label_mask"],
             sample_mask=batch.get("sample_mask"),
+            cross_replica_axis=axis,
         )
         return {"loss": lc.total, "box": lc.box, "cls": lc.cls, "dfl": lc.dfl}
 
@@ -205,22 +212,45 @@ def make_step_fns(
         return detector.module.apply({"params": params}, frames, rec_state)
 
     if mesh is not None:
-        repl = replicate_sharding(mesh)
-        data = batch_sharding(mesh)
-        batch_shardings = {
+        # shard_map, not sharding annotations: the SPMD partitioner cannot
+        # split an opaque tpu_custom_call (the Pallas LIF kernels), so the
+        # per-device program must be written in LOCAL shapes — shard_map
+        # hands each chip its own batch shard and the kernels tile it
+        # natively. Math is identical to single-device: the loss psums its
+        # normalization sums across replicas before dividing, and the
+        # gradient psum assembles d(global loss)/d(params)
+        # (tests/test_train.py::test_dp_matches_single_device).
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        data = P(DATA_AXIS)
+        batch_specs = {
             "images": data,
             "labels": data,
             "label_mask": data,
             "sample_mask": data,
         }
         train_step = jax.jit(
-            _train_step,
-            in_shardings=(repl, batch_shardings),
-            out_shardings=(repl, repl),
+            jax.shard_map(
+                partial(_train_step, axis=DATA_AXIS),
+                mesh=mesh,
+                in_specs=(P(), batch_specs),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
             donate_argnums=0,
         )
         eval_step = jax.jit(
-            _eval_step, in_shardings=(repl, batch_shardings), out_shardings=repl
+            jax.shard_map(
+                partial(_eval_step, axis=DATA_AXIS),
+                mesh=mesh,
+                in_specs=(P(), batch_specs),
+                out_specs=P(),
+                check_vma=False,
+            )
         )
     else:
         train_step = jax.jit(_train_step, donate_argnums=0)
