@@ -99,6 +99,16 @@ def make_step_fns(
     loss_fn = DetectionLoss(cfg.model.num_classes, cfg.model.hyp)
 
     if remat_chunk:
+        # Two separately-checkpointed callables: non-final chunks must drop
+        # the detection maps INSIDE the checkpoint — jax.checkpoint wraps
+        # its outputs in optimization barriers, so a dead raw_maps output
+        # would survive DCE and every middle chunk would compute (and hold)
+        # the decoder/head.
+        ckpt_state = jax.checkpoint(
+            lambda params, chunk, state: detector.module.apply(
+                {"params": params}, chunk, state
+            )[1]
+        )
         ckpt_apply = jax.checkpoint(
             lambda params, chunk, state: detector.module.apply(
                 {"params": params}, chunk, state
@@ -110,21 +120,20 @@ def make_step_fns(
             if t % c:
                 raise ValueError(f"T={t} not a multiple of remat_chunk={c}")
             n = t // c
+            if n == 1:
+                raw_maps, _ = ckpt_apply(params, frames, None)
+                return raw_maps
             # First chunk runs with state=None (the module builds its zero
             # state internally) and yields the concrete carry structure.
-            raw_maps, state = ckpt_apply(params, frames[:c], None)
-            if n == 1:
-                return raw_maps
+            state = ckpt_state(params, frames[:c], None)
             if n > 2:
                 mid = frames[c : (n - 1) * c].reshape(
                     n - 2, c, *frames.shape[1:]
                 )
 
                 def body(carry, chunk):
-                    # Middle chunks only advance the recurrent state; their
-                    # (unused) detection maps are DCE'd from the scan body.
-                    _, new_state = ckpt_apply(params, chunk, carry)
-                    return new_state, None
+                    # Middle chunks only advance the recurrent state.
+                    return ckpt_state(params, chunk, carry), None
 
                 state, _ = jax.lax.scan(body, state, mid)
             # Final chunk: maps of its last timestep are the window's output.
