@@ -6,11 +6,13 @@ math matches reference model.py:50-71: a single conv over [x; h] producing
 4*hidden gates (i, f, g, o), zero-initialized state on the first step.
 
 Unlike the feedforward spiking blocks this layer has a true conv inside the
-recurrence, so it runs under ``lax.scan`` over time (the conv cannot be
-time-batched). It sits only at the U-Net bottleneck (smallest spatial
-resolution), so the serial cost is negligible. The gate conv is declared as
-an explicit parameter and applied with ``lax.conv_general_dilated`` so the
-scan body stays a pure function (no flax module calls inside the scan).
+recurrence. The gate conv is linear in [x; h], so it is SPLIT: the input
+half conv(x, W[:in]) is time-batched over all T steps in one MXU call, and
+only the hidden half conv(h, W[in:]) runs sequentially under ``lax.scan``
+— same parameter tensor and math as the reference's single concat-conv.
+The gate kernel is declared as an explicit parameter and applied with
+``lax.conv_general_dilated`` so the scan body stays a pure function (no
+flax module calls inside the scan).
 """
 
 from __future__ import annotations
@@ -59,34 +61,47 @@ class ConvLSTM2d(nn.Module):
 
         bias = self.param("gates_bias", _bias_init, (4 * self.hidden,), jnp.float32)
 
-        dn = jax.lax.conv_dimension_numbers(
-            (b, h, w, in_ch + self.hidden),
-            kernel.shape,
-            ("NHWC", "HWIO", "NHWC"),
-        )
         pad = self.kernel // 2
         compute_dtype = self.dtype
 
-        def step(carry, x):
-            h_state, c_state = carry
-            xh = jnp.concatenate(
-                [x.astype(compute_dtype), h_state.astype(compute_dtype)], axis=-1
+        def _conv(inp, kern):
+            dn = jax.lax.conv_dimension_numbers(
+                inp.shape, kern.shape, ("NHWC", "HWIO", "NHWC")
             )
-            # Conv runs uniformly in the compute dtype (mixed dtypes break
-            # the conv transpose rule under grad); MXU still accumulates in
-            # fp32 for bf16 inputs. Gate math upcasts to fp32 after.
-            gates = jax.lax.conv_general_dilated(
-                xh,
-                kernel.astype(compute_dtype),
+            return jax.lax.conv_general_dilated(
+                inp,
+                kern,
                 window_strides=(1, 1),
                 padding=[(pad, pad), (pad, pad)],
                 dimension_numbers=dn,
             )
-            gates = gates.astype(jnp.float32) + bias
+
+        # conv([x; h], W) == conv(x, W[:in]) + conv(h, W[in:]) — split so the
+        # input half of the gates is computed for ALL timesteps in one
+        # MXU-batched conv (this is >half the gate FLOPs and the ConvLSTM
+        # bottleneck carries more FLOPs than the whole backbone at the
+        # flagship geometry); only the hidden half stays sequential in the
+        # scan. Same parameter tensor, same math up to one extra bf16
+        # rounding at the gate sum.
+        t = x_t.shape[0]
+        xb = x_t.reshape((t * b, h, w, in_ch)).astype(compute_dtype)
+        x_gates = _conv(xb, kernel[:, :, :in_ch].astype(compute_dtype))
+        x_gates = x_gates.reshape((t, b, h, w, 4 * self.hidden))
+        k_h = kernel[:, :, in_ch:].astype(compute_dtype)
+
+        def step(carry, xg):
+            h_state, c_state = carry
+            # Conv runs uniformly in the compute dtype (mixed dtypes break
+            # the conv transpose rule under grad); MXU still accumulates in
+            # fp32 for bf16 inputs. Gate math upcasts to fp32 after.
+            h_gates = _conv(h_state.astype(compute_dtype), k_h)
+            gates = (
+                xg.astype(jnp.float32) + h_gates.astype(jnp.float32) + bias
+            )
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c_next = jax.nn.sigmoid(f) * c_state + jax.nn.sigmoid(i) * jnp.tanh(g)
             h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
             return (h_next, c_next), h_next
 
-        (h_final, c_final), h_seq = jax.lax.scan(step, state, x_t)
+        (h_final, c_final), h_seq = jax.lax.scan(step, state, x_gates)
         return h_seq, (h_final, c_final)

@@ -13,10 +13,17 @@ def test_preprocess_video_layout_and_range():
     imgs = np.random.RandomState(0).randint(
         0, 255, size=(2, 3, 16, 20, 3), dtype=np.uint8
     )
-    out = np.asarray(preprocess_video(imgs))
+    out = np.asarray(preprocess_video(imgs), np.float32)
     assert out.shape == (3, 2, 16, 20, 3)  # time-major
     assert out.min() >= 0.0 and out.max() <= 1.0
-    np.testing.assert_allclose(out[1, 0], imgs[0, 1] / 255.0, atol=1e-6)
+    # Default output is the model compute dtype (bf16): values match the
+    # f32 pipeline up to one bf16 rounding (the first conv consumed
+    # bf16(x/255) either way).
+    np.testing.assert_allclose(out[1, 0], imgs[0, 1] / 255.0, atol=2.5e-3)
+    import jax.numpy as jnp
+
+    out32 = np.asarray(preprocess_video(imgs, dtype=jnp.float32))
+    np.testing.assert_allclose(out32[1, 0], imgs[0, 1] / 255.0, atol=1e-6)
 
 
 def test_preprocess_video_resize():
