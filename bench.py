@@ -458,13 +458,15 @@ if __name__ == "__main__":
     from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # batch 32 is the measured single-chip throughput sweet spot
+    # (16: 1637 f/s, 32: 1708 f/s, 48: 1658 f/s — docs/BENCH_NOTES_r2.json).
     if args.profile:
         from snn_object_detectionddp_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            res = measure(batch=args.batch or 16, iters=args.iters or 20)
+            res = measure(batch=args.batch or 32, iters=args.iters or 20)
     else:
-        res = measure(batch=args.batch or 16, iters=args.iters or 20)
+        res = measure(batch=args.batch or 32, iters=args.iters or 20)
     cpu = cpu_baseline()
 
     pipeline_fps = None

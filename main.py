@@ -114,6 +114,7 @@ def train_code(cfg, detector: Detector) -> None:
     fns = make_step_fns(
         detector, tx, schedule, mesh=mesh, remat=cfg.training.remat,
         remat_chunk=cfg.training.remat_chunk or None,
+        grad_accum=cfg.training.grad_accum_steps or 1,
     )
 
     rng = jax.random.PRNGKey(cfg.training.seed)

@@ -60,6 +60,9 @@ class TrainingConfig:
     # Long-T BPTT: checkpoint per time-chunk of this size (activation memory
     # scales with one chunk, not the window). 0 = off. T % chunk must be 0.
     remat_chunk: int = 0
+    # Gradient accumulation: microbatches per optimizer step (activation
+    # memory ~ one microbatch; grads averaged). 1 = off. batch_size % k == 0.
+    grad_accum_steps: int = 1
     param_groups: bool = False  # discriminative LR groups (train/param_groups.py)
     save_every_epochs: int = 1  # checkpoint write cadence; the best state is
     # snapshotted on-device at every improvement regardless, so best.pt is

@@ -65,6 +65,13 @@ def init_state(
     }
 
 
+def _loss_components_zero():
+    from ..losses.detection import LossComponents
+
+    z = jnp.zeros((), jnp.float32)
+    return LossComponents(total=z, box=z, cls=z, dfl=z)
+
+
 class TrainStepFns(NamedTuple):
     train_step: Callable  # (state, batch) -> (state, metrics)
     eval_step: Callable  # (params, batch) -> metrics
@@ -78,11 +85,24 @@ def make_step_fns(
     mesh=None,
     remat: bool = False,
     remat_chunk: int | None = None,
+    grad_accum: int = 1,
 ) -> TrainStepFns:
     """Build jitted step functions bound to a Detector + optimizer.
 
     ``mesh``: optional 1-D data mesh; when given, steps are compiled with
     replicated state and batch-sharded inputs (DP over ICI).
+
+    ``grad_accum``: gradient accumulation — the batch is split into this
+    many sequential microbatches inside one jitted step (lax.scan);
+    activation memory scales with ONE microbatch, so effective batch
+    sizes far beyond HBM fit on a single chip. Each microbatch's loss is
+    normalized over that microbatch (its own target_scores_sum, torch
+    DDP+accumulation semantics); grads and the batch-scaled loss total
+    are summed (the total scales with microbatch size, so the sum carries
+    the full-batch scale) — a batch of identical microbatches reproduces
+    the unaccumulated step up to f32 reassociation (tested). Composes with ``mesh``
+    (accumulation runs inside each shard_map replica) and
+    ``remat_chunk``.
 
     ``remat_chunk``: long-T BPTT memory control — split the T axis into
     chunks of this size; each chunk's forward is a jax.checkpoint region
@@ -154,7 +174,7 @@ def make_step_fns(
             raw_maps, _ = apply_fn({"params": params}, frames)
             return raw_maps
 
-    def _train_step(state, batch, axis=None):
+    def _grads_of(params, batch, axis):
         frames = preprocess_video(batch["images"])  # (T, B, H, W, 3)
 
         def objective(params):
@@ -168,15 +188,55 @@ def make_step_fns(
             )
             return lc.total, lc
 
-        (_, lc), grads = jax.value_and_grad(objective, has_aux=True)(
-            state["params"]
-        )
+        (_, lc), grads = jax.value_and_grad(objective, has_aux=True)(params)
         if axis is not None:
             # Each replica holds d(global loss)/d(params) restricted to its
             # own batch shard; the psum assembles the full gradient (the
             # loss itself is already the global-batch loss — see
             # detection_loss(cross_replica_axis=...)).
             grads = jax.lax.psum(grads, axis)
+        return grads, lc
+
+    def _train_step(state, batch, axis=None):
+        params = state["params"]
+        if grad_accum > 1:
+            k = grad_accum
+            b = batch["images"].shape[0]
+            if b % k:
+                raise ValueError(
+                    f"batch {b} not a multiple of grad_accum={k}"
+                )
+            micro = {
+                key: v.reshape((k, b // k) + v.shape[1:])
+                for key, v in batch.items()
+            }
+
+            def body(carry, mb):
+                g_acc, l_acc = carry
+                g, lc = _grads_of(params, mb, axis)
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, l_acc, lc),
+                ), None
+
+            init = (
+                jax.tree.map(jnp.zeros_like, params),
+                jax.tree.map(
+                    jnp.zeros_like, _loss_components_zero()
+                ),
+            )
+            (grads, lc), _ = jax.lax.scan(body, init, micro)
+            # lc.total scales with the (micro)batch size, so SUMMING the
+            # microbatch grads/totals reproduces the full-batch scale: a
+            # batch of identical microbatches gives the same grads as
+            # the unaccumulated step (tested). The per-component logging
+            # values (already normalized) are averaged.
+            inv = 1.0 / k
+            lc = lc._replace(
+                box=lc.box * inv, cls=lc.cls * inv, dfl=lc.dfl * inv
+            )
+        else:
+            grads, lc = _grads_of(params, batch, axis)
         # OneCycle LR from dynamic constants carried in the state.
         sched = state["sched"]
         lr = onecycle_lr(state["step"], sched[0], sched[1], sched[2])

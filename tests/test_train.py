@@ -213,3 +213,68 @@ def test_remat_chunk_rejects_indivisible_t(setup):
     batch = _batch(np.random.RandomState(0), t=4)
     with pytest.raises(ValueError, match="remat_chunk"):
         fns_c.train_step(state, batch)
+
+
+def test_grad_accum_identical_microbatches_exact(setup):
+    """A batch whose two halves are identical must produce the same loss
+    and updated params under grad_accum=2 as under grad_accum=1 (up to
+    f32 reassociation of the batch reductions): micro totals scale with
+    microbatch size and are summed, so the full-batch gradient scale is
+    reproduced."""
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    params = det.init_params(jax.random.PRNGKey(3))
+    half = _batch(np.random.RandomState(5), b=2)
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+
+    outs = {}
+    for k in (1, 2):
+        fns_k = make_step_fns(det, tx, schedule, grad_accum=k)
+        state = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+        new_state, m = fns_k.train_step(state, batch)
+        outs[k] = (float(m["loss"]), float(m["grad_norm"]),
+                   jax.tree.leaves(new_state["params"])[0])
+
+    np.testing.assert_allclose(outs[2][0], outs[1][0], rtol=2e-4)
+    np.testing.assert_allclose(outs[2][1], outs[1][1], rtol=1e-3)
+    # Post-AdamW params: the normalizer sqrt(nu)+eps amplifies tiny f32
+    # reassociation deltas where grads are near zero; bound by a fraction
+    # of the 1e-3 learning-rate step instead of machine epsilon.
+    np.testing.assert_allclose(
+        np.asarray(outs[2][2], np.float32),
+        np.asarray(outs[1][2], np.float32),
+        atol=5e-4,
+    )
+
+
+def test_grad_accum_reduces_loss(setup):
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    fns_a = make_step_fns(det, tx, schedule, grad_accum=2)
+    params = det.init_params(jax.random.PRNGKey(0))
+    state = init_state(params, tx, schedule)
+    batch = _batch(np.random.RandomState(1), b=4)
+    losses = []
+    for _ in range(6):
+        state, m = fns_a.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accum_rejects_indivisible_batch(setup):
+    import jax
+
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    fns_a = make_step_fns(det, tx, schedule, grad_accum=3)
+    params = det.init_params(jax.random.PRNGKey(0))
+    state = init_state(params, tx, schedule)
+    with pytest.raises(ValueError, match="grad_accum"):
+        fns_a.train_step(state, _batch(np.random.RandomState(0), b=4))
