@@ -73,7 +73,14 @@ class BatchLoader:
         num_threads: int = 4,
         prefetch: int = 2,
         drop_last: bool = False,
+        transform=None,
     ):
+        # ``transform``: optional per-frame callable (H,W,3) uint8 ->
+        # (H,W,3) uint8 applied at decode time on the host — the working
+        # form of the reference dataset's (declared but never wired)
+        # ``transform`` hook, reference dataset.py:8-20,148-149. Geometry
+        # must be preserved (labels are not re-derived).
+        self.transform = transform
         self.index = index
         self.indices = list(indices)
         self.batch_size = batch_size
@@ -95,6 +102,8 @@ class BatchLoader:
     def _load_sample(self, idx: int):
         s = self.index.samples[idx]
         frames = [_decode_frame(p) for p in s.frame_paths]
+        if self.transform is not None:
+            frames = [self.transform(f) for f in frames]
         img_h, img_w = frames[-1].shape[:2]
         images = np.stack(frames)  # (T, H, W, 3) uint8
         if self.index.mode in ("train", "val"):
@@ -112,6 +121,10 @@ class BatchLoader:
         flat = native.decode_batch(all_paths, h, w, self.num_threads)
         t = samples[0].seq_len
         images = flat.reshape(len(samples), t, h, w, 3)
+        if self.transform is not None:
+            images = np.stack([
+                np.stack([self.transform(f) for f in seq]) for seq in images
+            ])
         results = []
         for i, (s, idx) in enumerate(zip(samples, batch_indices)):
             if self.index.mode in ("train", "val"):

@@ -147,3 +147,30 @@ def test_test_mode_returns_paths(fixture_root):
     assert "labels" not in b
     assert len(b["paths"]) == 2
     assert b["paths"][0].endswith(".png")
+
+
+def test_loader_transform_hook(tmp_path):
+    """BatchLoader(transform=...) applies a per-frame host transform at
+    decode time (working form of the reference dataset's declared-but-
+    unwired ``transform`` hook, reference dataset.py:8-20,148-149)."""
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.data.dsec import DSECIndex
+    from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
+    from snn_object_detectionddp_tpu.data.synthetic import make_dataset
+
+    root = tmp_path / "dsec"
+    make_dataset(root, num_sequences=2, splits=("train",), num_frames=8,
+                 height=32, width=40, num_classes=2)
+    cfg = Config()
+    cfg.dataset.train.path = str(root / "train")
+    cfg.dataset.train.seq_len = 2
+    index = DSECIndex(cfg, "train")
+
+    plain = next(iter(BatchLoader(index, [0], batch_size=1, max_boxes=4)))
+    inverted = next(iter(BatchLoader(
+        index, [0], batch_size=1, max_boxes=4,
+        transform=lambda f: 255 - f,
+    )))
+    np.testing.assert_array_equal(
+        inverted["images"][0, 0], 255 - plain["images"][0, 0]
+    )
