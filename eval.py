@@ -57,7 +57,10 @@ if __name__ == "__main__":
             jax.random.PRNGKey(0),
         )
         packed = load_checkpoint(weights_path, template)
-        params = packed["state"]["params"]
+        # One-time device placement: checkpoint params restore as host
+        # numpy; without this every jitted call re-uploads them (minutes
+        # over this host's ~3 MB/s tunnel; a silent per-call tax anywhere).
+        params = jax.device_put(packed["state"]["params"])
         print(f"Loaded checkpoint {weights_path}")
     else:
         params = detector.init_params(jax.random.PRNGKey(0))

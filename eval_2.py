@@ -35,7 +35,10 @@ def evaluate(cfg, weights: str | None = None) -> dict:
             jax.random.PRNGKey(0),
         )
         packed = load_checkpoint(weights_path, template)
-        params = packed["state"]["params"]
+        # One-time device placement: checkpoint params restore as host
+        # numpy; without this every jitted call re-uploads them (minutes
+        # over this host's ~3 MB/s tunnel; a silent per-call tax anywhere).
+        params = jax.device_put(packed["state"]["params"])
         print(f"Loaded checkpoint {weights_path} (epoch {int(packed['epoch'])})")
     else:
         params = detector.init_params(jax.random.PRNGKey(0))

@@ -159,7 +159,7 @@ def visualize_code(cfg, detector: Detector) -> None:
     run_visualization(
         cfg,
         detector,
-        packed["state"]["params"],
+        jax.device_put(packed["state"]["params"]),  # one-time placement
         output_dir,
         class_names=DSEC_DET_CLASSES[: cfg.model.num_classes],
     )

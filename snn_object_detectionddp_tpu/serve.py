@@ -58,7 +58,11 @@ class DetectionService:
         from .ops.nms import batched_nms
 
         self.detector = detector
-        self.params = params
+        # One-time device placement: checkpoint-restored params are host
+        # numpy, and passing them to the jit per request re-uploads the
+        # whole model every call (measured seconds/request through the
+        # dev tunnel). Committed device arrays are reused by every call.
+        self.params = jax.device_put(params)
         self.max_streams = max_streams
         h, w = detector.cfg.model.image_size
         self.image_hw = (h, w)
@@ -100,13 +104,20 @@ class DetectionService:
             self._started = False
 
     def warmup(self):
-        """Compile the serving program before accepting traffic."""
+        """Compile BOTH serving programs before accepting traffic: the
+        first-frame trace (rec_state=None — the model builds zero state)
+        and the steady-state trace (concrete state pytree) are different
+        jit signatures; without the second, the first repeat frame of
+        every deployment would stall on a fresh multi-minute compile."""
         import numpy as np
 
         h, w = self.image_hw
-        job = _Job("__warmup__", np.zeros((h, w, 3), np.uint8))
-        self._q.put(job)
-        job.reply.get()
+        for _ in range(2):
+            job = _Job("__warmup__", np.zeros((h, w, 3), np.uint8))
+            self._q.put(job)
+            out = job.reply.get()
+            if isinstance(out, Exception):
+                raise out
         self.reset("__warmup__")
 
     # -- API ---------------------------------------------------------------
