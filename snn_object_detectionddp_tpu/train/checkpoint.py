@@ -151,17 +151,32 @@ def resume_or_init(
         weights_path = Path(cfg.training.weights_path)
         if weights_path.exists():
             print(f"Resuming training: Loading from {weights_path}")
-            packed = load_checkpoint(weights_path, template_state)
-            best = float(packed["best_val_loss"])
+            try:
+                packed = load_checkpoint(weights_path, template_state)
+            except Exception as e:
+                # Failure recovery (SURVEY §5): a torn/corrupt checkpoint
+                # (killed writer, bad disk) must not strand a training
+                # job — warn and fall through to a fresh start, the same
+                # soft-fail contract as a missing file. Writes are atomic
+                # (tmp+rename), so this catches external corruption, not
+                # our own interrupted saves. Eval CLIs still raise: random
+                # weights at eval time would be silent nonsense.
+                print(
+                    f"WARNING: checkpoint '{weights_path}' is unreadable "
+                    f"({type(e).__name__}: {e}); starting fresh."
+                )
+            else:
+                best = float(packed["best_val_loss"])
+                print(
+                    "Successfully loaded model and found previous "
+                    f"best_val_loss: {best}"
+                )
+                return packed["state"], int(packed["epoch"]) + 1, best
+        else:
             print(
-                "Successfully loaded model and found previous "
-                f"best_val_loss: {best}"
+                f"WARNING: 'resume_training' is True but weights_path "
+                f"'{weights_path}' not found."
             )
-            return packed["state"], int(packed["epoch"]) + 1, best
-        print(
-            f"WARNING: 'resume_training' is True but weights_path "
-            f"'{weights_path}' not found."
-        )
         print("Initializing model from scratch...")
     else:
         print("Initializing new model from scratch...")

@@ -114,6 +114,19 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     )
     assert start_epoch == 0 and best == float("inf") and called == [1]
 
+    # corrupt checkpoint -> warn + fresh init (failure recovery, SURVEY §5);
+    # load_checkpoint itself must still raise for eval callers.
+    bad = tmp_path / "corrupt.pt"
+    bad.write_bytes(b"not a checkpoint at all")
+    cfg.training.weights_path = str(bad)
+    called.clear()
+    st, start_epoch, best = resume_or_init(
+        cfg, template, init_fn=lambda: (called.append(1), template)[1]
+    )
+    assert start_epoch == 0 and best == float("inf") and called == [1]
+    with pytest.raises(Exception):
+        load_checkpoint(bad, template)
+
 
 def test_dp_matches_single_device(setup):
     """One sharded train step over an 8-device CPU mesh must produce the
