@@ -26,6 +26,10 @@ PRESETS = {
     "yolo11n.pt": ((32, 64, 128, 256), 0),
     "yolo11s.pt": ((32, 96, 192, 384), 0),
     "yolo11m.pt": ((48, 128, 256, 512), 1),
+    # l/x: full ultralytics family coverage (the reference only ever sets
+    # yolo11m, config.yaml:31, but the key accepts any family member).
+    "yolo11l.pt": ((64, 160, 320, 640), 2),
+    "yolo11x.pt": ((80, 192, 384, 768), 2),
 }
 DEFAULT_PRESET = "yolo11m.pt"
 
