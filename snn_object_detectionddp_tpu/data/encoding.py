@@ -39,20 +39,23 @@ def preprocess_video(
     rounded once — identical to the old f32-pipeline value after the
     conv-input cast."""
     x = jnp.transpose(images_u8, (1, 0, 2, 3, 4))  # (T, B, H, W, 3) uint8
-    x = (x.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype)
+    xf = x.astype(jnp.float32) * (1.0 / 255.0)
     if out_hw is not None and out_hw != x.shape[2:4]:
+        # Resize BEFORE the output-dtype cast: bilinear interpolation of
+        # already-bf16-rounded values would compound quantization.
         t, b = x.shape[:2]
-        x = jax.image.resize(
-            x, (t, b, out_hw[0], out_hw[1], 3), method="bilinear"
+        xf = jax.image.resize(
+            xf, (t, b, out_hw[0], out_hw[1], 3), method="bilinear"
         )
-    return x
+    return xf.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("timesteps", "out_hw"))
 def encode_direct(
     image_u8: jnp.ndarray, timesteps: int, out_hw: tuple[int, int] | None = None
 ) -> jnp.ndarray:
-    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) float32, frame repeated T times."""
+    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) in the model compute dtype
+    (bf16 — see preprocess_video), frame repeated T times."""
     x = preprocess_video(image_u8[:, None], out_hw)  # (1, B, H', W', 3)
     return jnp.tile(x, (timesteps, 1, 1, 1, 1))
 

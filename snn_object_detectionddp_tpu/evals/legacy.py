@@ -153,7 +153,7 @@ def process_sequence(
     cur_stride = max(1, int(stride))
     stride_list = [cur_stride]
     next_det_idx = 0
-    prev_iou = 0.0
+    prev_iou = 1.0  # tracking starts "fine" (reference eval.py:66)
 
     t_total0 = time.perf_counter()
     for f_idx, path in enumerate(frame_paths):
@@ -176,7 +176,16 @@ def process_sequence(
             boxes = out["boxes"][0][valid]
             det_count += 1
             if adaptive and method != "entire_model":
-                curr_iou = compute_iou_list(prev_boxes, boxes)
+                # IoU semantics for the hook: compute_iou_list returns 0.0
+                # when either box set is empty, which would read as
+                # "tracking degrading" and halve the stride — wrong on
+                # object-free stretches (both empty: nothing to track,
+                # tracking is trivially fine) and meaningless on the very
+                # first detection (no tracking has happened yet).
+                if f_idx == 0 or (prev_boxes.size == 0 and boxes.size == 0):
+                    curr_iou = prev_iou
+                else:
+                    curr_iou = compute_iou_list(prev_boxes, boxes)
                 cur_stride = max(
                     1, int(compute_stride(prev_iou, curr_iou, cur_stride))
                 )

@@ -86,6 +86,11 @@ class DetectionService:
         self._predict = predict
         self._states: dict[str, Any] = {}
         self._lru: list[str] = []
+        # Guards _states/_lru: mutated by the device worker AND by /reset
+        # from HTTP handler threads — unsynchronized, a concurrent reset
+        # could race the worker's LRU bookkeeping (ValueError) or be
+        # silently undone by the worker re-adding the state it just ran.
+        self._state_lock = threading.Lock()
         self._q: queue.Queue[_Job | None] = queue.Queue(maxsize=256)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._started = False
@@ -137,9 +142,10 @@ class DetectionService:
         return out
 
     def reset(self, stream: str) -> None:
-        self._states.pop(stream, None)
-        if stream in self._lru:
-            self._lru.remove(stream)
+        with self._state_lock:
+            self._states.pop(stream, None)
+            if stream in self._lru:
+                self._lru.remove(stream)
 
     @property
     def num_streams(self) -> int:
@@ -161,12 +167,13 @@ class DetectionService:
                     self.params, jax.device_put(job.image_u8), state
                 )
                 host = jax.device_get(out)
-                self._states[job.stream] = new_state
-                if job.stream in self._lru:
-                    self._lru.remove(job.stream)
-                self._lru.append(job.stream)
-                while len(self._lru) > self.max_streams:  # bound device mem
-                    self._states.pop(self._lru.pop(0), None)
+                with self._state_lock:
+                    self._states[job.stream] = new_state
+                    if job.stream in self._lru:
+                        self._lru.remove(job.stream)
+                    self._lru.append(job.stream)
+                    while len(self._lru) > self.max_streams:  # bound mem
+                        self._states.pop(self._lru.pop(0), None)
                 valid = host["valid"][0]
                 job.reply.put({
                     "boxes": np.asarray(host["boxes"][0][valid]).round(2).tolist(),

@@ -92,6 +92,44 @@ class AsyncCheckpointer:
         self._thread = None
 
 
+def _migrate_legacy_gn(params, template):
+    """Round-1 -> round-2 param-layout migration: SpikingConvBlock's
+    fused GroupNorm renamed ``GroupNorm_0/{scale,bias}`` to in-block
+    ``gn_scale``/``gn_bias`` (models/layers.py split-GN fusion). Rewrites
+    a raw restored params dict in the old layout so pre-fusion
+    checkpoints keep loading; identical math, so the weights transfer
+    exactly. Template-guided: only dicts whose template counterpart
+    expects ``gn_scale`` are rewritten (the non-spiking decoder/head
+    ConvBlocks legitimately keep a real ``GroupNorm_0`` submodule).
+    Returns (params, migrated_count)."""
+    n = 0
+
+    def walk(d, t):
+        nonlocal n
+        if not isinstance(d, dict) or not isinstance(t, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if (
+                k == "GroupNorm_0"
+                and isinstance(v, dict)
+                and set(v) <= {"scale", "bias"}
+                and "gn_scale" in t
+                and "GroupNorm_0" not in t
+                and "gn_scale" not in d
+            ):
+                if "scale" in v:
+                    out["gn_scale"] = v["scale"]
+                if "bias" in v:
+                    out["gn_bias"] = v["bias"]
+                n += 1
+            else:
+                out[k] = walk(v, t.get(k))
+        return out
+
+    return walk(params, template), n
+
+
 def load_checkpoint(path: str | Path, template_state: dict) -> dict:
     """Restore against a template pytree (structure only).
 
@@ -126,6 +164,14 @@ def load_checkpoint(path: str | Path, template_state: dict) -> dict:
         raw_params = raw.get("state", {}).get("params")
         if raw_params is None:
             raise
+        raw_params, migrated = _migrate_legacy_gn(
+            raw_params, template_state["params"]
+        )
+        if migrated:
+            print(
+                f"NOTE: migrated {migrated} GroupNorm_0 param groups to "
+                "the fused gn_scale/gn_bias layout."
+            )
         out["state"]["params"] = serialization.from_state_dict(
             template_state["params"], raw_params
         )

@@ -291,3 +291,53 @@ def test_grad_accum_rejects_indivisible_batch(setup):
     state = init_state(params, tx, schedule)
     with pytest.raises(ValueError, match="grad_accum"):
         fns_a.train_step(state, _batch(np.random.RandomState(0), b=4))
+
+
+def test_legacy_groupnorm_checkpoint_migrates(tmp_path, setup):
+    """Checkpoints from the pre-fusion layout (SpikingConvBlock params
+    under GroupNorm_0/{scale,bias}) must load with weights transferred to
+    the fused gn_scale/gn_bias names — not be silently dropped as
+    'unreadable' (round-2 GN fusion rename)."""
+    import jax
+    from flax import serialization
+
+    from snn_object_detectionddp_tpu.train.checkpoint import load_checkpoint
+
+    cfg, det, tx, schedule, fns, fresh_state = setup
+    state = fresh_state()
+    params = jax.device_get(state["params"])
+
+    def unmigrate(d):
+        if not isinstance(d, dict):
+            return d
+        out, gn = {}, {}
+        for k, v in d.items():
+            if k == "gn_scale":
+                gn["scale"] = v
+            elif k == "gn_bias":
+                gn["bias"] = v
+            else:
+                out[k] = unmigrate(v)
+        if gn:
+            out["GroupNorm_0"] = gn
+        return out
+
+    old_params = unmigrate(params)
+    assert old_params != params  # the rename actually applies somewhere
+    blob = serialization.to_bytes(
+        {
+            "state": {"params": old_params},
+            "epoch": np.int32(2),
+            "best_val_loss": np.float32(3.5),
+        }
+    )
+    path = tmp_path / "old_layout.pt"
+    path.write_bytes(blob)
+
+    template = jax.tree.map(np.zeros_like, jax.device_get(state))
+    packed = load_checkpoint(path, template)
+    assert int(packed["epoch"]) == 2
+    for a, b in zip(
+        jax.tree.leaves(params), jax.tree.leaves(packed["state"]["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
