@@ -32,7 +32,6 @@ IMG_H, IMG_W = 480, 640
 
 def _build(batch: int):
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from snn_object_detectionddp_tpu.config import Config
