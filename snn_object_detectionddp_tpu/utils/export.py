@@ -64,3 +64,60 @@ def export_serving(
 def load_serving(path: str | Path):
     """Deserialize an exported program; returns an object with ``.call``."""
     return jax_export.deserialize(Path(path).read_bytes())
+
+
+def build_streaming_fns(detector, params, conf: float = 0.25,
+                        iou: float = 0.45, max_det: int = 100):
+    """Per-frame streaming pair with carried recurrent state, params baked:
+
+    - ``init``: (B, H, W, 3) uint8 -> (nms_dict, state)   [first frame]
+    - ``step``: ((B, H, W, 3) uint8, state) -> (nms_dict, state)
+
+    Exporting both signatures mirrors serve.DetectionService.warmup: the
+    first-frame and steady-state traces are different programs.
+    """
+    from ..data.encoding import preprocess_video
+    from ..models.detect import decode_predictions
+    from ..ops.nms import batched_nms
+
+    reg_max = detector.cfg.model.hyp.reg_max
+    nc = detector.cfg.model.num_classes
+
+    def _run(image_u8, rec_state):
+        frames = preprocess_video(image_u8[:, None])  # (1, B, H, W, 3)
+        raw, new_state = detector.module.apply(
+            {"params": params}, frames, rec_state
+        )
+        boxes, scores = decode_predictions(
+            raw, reg_max, nc, image_hw=image_u8.shape[1:3]
+        )
+        out = batched_nms(
+            boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
+        )
+        return out, new_state
+
+    return jax.jit(lambda img: _run(img, None)), jax.jit(_run)
+
+
+def export_streaming(
+    detector,
+    params,
+    init_path: str | Path,
+    step_path: str | Path,
+    batch: int = 1,
+    image_hw: tuple[int, int] | None = None,
+    **nms_kwargs,
+) -> tuple[str, str]:
+    """Serialize the streaming (init, step) pair to StableHLO files."""
+    h, w = image_hw or detector.cfg.model.image_size
+    init_fn, step_fn = build_streaming_fns(detector, params, **nms_kwargs)
+    img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+    # The state pytree structure comes from an abstract init evaluation.
+    _, state_spec = jax.eval_shape(init_fn, img_spec)
+    init_blob = jax_export.export(init_fn)(img_spec).serialize()
+    step_blob = jax_export.export(step_fn)(img_spec, state_spec).serialize()
+    init_path, step_path = Path(init_path), Path(step_path)
+    for p, blob in ((init_path, init_blob), (step_path, step_blob)):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(blob)
+    return str(init_path), str(step_path)

@@ -51,3 +51,44 @@ def test_export_roundtrip(tiny_det, tmp_path):
         (via_artifact["boxes"], via_artifact["scores"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_streaming_export_roundtrip(tiny_det, tmp_path):
+    """The exported streaming (init, step) pair must reproduce the live
+    jitted streaming programs: run two frames through the deserialized
+    artifacts and through build_streaming_fns, compare detections and the
+    carried state."""
+    import jax
+
+    from snn_object_detectionddp_tpu.utils.export import (
+        build_streaming_fns,
+        export_streaming,
+        load_serving,
+    )
+
+    det, params = tiny_det
+    init_p, step_p = export_streaming(
+        det, params, tmp_path / "init.stablehlo", tmp_path / "step.stablehlo",
+        batch=1, conf=0.0, max_det=8,
+    )
+    init_fn, step_fn = build_streaming_fns(det, params, conf=0.0, max_det=8)
+
+    rng = np.random.RandomState(0)
+    f0 = rng.randint(0, 255, size=(1, 64, 64, 3), dtype=np.uint8)
+    f1 = rng.randint(0, 255, size=(1, 64, 64, 3), dtype=np.uint8)
+
+    out_ref0, st_ref = init_fn(f0)
+    out_ref1, _ = step_fn(f1, st_ref)
+
+    e_init = load_serving(init_p)
+    e_step = load_serving(step_p)
+    out0, st = e_init.call(f0)
+    out1, _ = e_step.call(f1, st)
+
+    for ref, got in ((out_ref0, out0), (out_ref1, out1)):
+        np.testing.assert_allclose(
+            np.asarray(ref["scores"]), np.asarray(got["scores"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref["boxes"]), np.asarray(got["boxes"]), atol=1e-3
+        )
