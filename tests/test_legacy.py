@@ -119,3 +119,45 @@ def test_process_sequence_adaptive_stride(tmp_path):
     assert stats["flow_count"] == 4
     assert stats["stride_list"] == [1, 3, 3, 3]
     assert len(calls) == 3
+
+
+def test_process_sequence_cropped_model(tmp_path):
+    """"cropped_model" (the reference's cropped_yolo intent — its
+    detect_objects_with_cropping is never defined) detects every frame:
+    full-frame until the first tracks appear, then inside the fixed crop
+    window; all returned boxes stay in full-image coordinates."""
+    import cv2
+    import jax
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.evals.legacy import process_sequence
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    paths = []
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        img = rng.randint(0, 64, (64, 96, 3), np.uint8)
+        img[20:44, 30:60] = 255  # a bright block to detect
+        p = tmp_path / f"{i:06d}.png"
+        cv2.imwrite(str(p), img)
+        paths.append(str(p))
+
+    cfg = Config()
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.num_classes = 2
+    cfg.model.hyp.reg_max = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    stats = process_sequence(
+        detector, params, paths, method="cropped_model", conf=0.0,
+    )
+    assert stats["det_count"] == 4  # every frame runs the detector
+    assert stats["flow_count"] == 0
+    assert len(stats["detections"]) == 4
+    # Frame 0 detects full-frame (no tracks yet); once tracks exist the
+    # crop path must still produce detections (boxes are raw decoder
+    # output — unclamped — so no coordinate-range assertion here).
+    assert stats["detections"][0].size > 0
+    assert stats["detections"][-1].size > 0
