@@ -31,7 +31,7 @@ if __name__ == "__main__":
     ap.add_argument(
         "--method",
         default="optical_flow",
-        choices=["entire_model", "optical_flow"],
+        choices=["entire_model", "cropped_model", "optical_flow"],
     )
     ap.add_argument("--stride", type=int, default=5)
     ap.add_argument(
