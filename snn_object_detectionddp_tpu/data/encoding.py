@@ -50,25 +50,31 @@ def preprocess_video(
     return xf.astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("timesteps", "out_hw"))
+@partial(jax.jit, static_argnames=("timesteps", "out_hw", "dtype"))
 def encode_direct(
-    image_u8: jnp.ndarray, timesteps: int, out_hw: tuple[int, int] | None = None
+    image_u8: jnp.ndarray,
+    timesteps: int,
+    out_hw: tuple[int, int] | None = None,
+    dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
-    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) in the model compute dtype
-    (bf16 — see preprocess_video), frame repeated T times."""
-    x = preprocess_video(image_u8[:, None], out_hw)  # (1, B, H', W', 3)
+    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) in the model compute
+    ``dtype`` (pass ``detector.module.dtype`` so ``runtime.precision``
+    is honored), frame repeated T times."""
+    x = preprocess_video(image_u8[:, None], out_hw, dtype)  # (1,B,H',W',3)
     return jnp.tile(x, (timesteps, 1, 1, 1, 1))
 
 
-@partial(jax.jit, static_argnames=("timesteps", "out_hw"))
+@partial(jax.jit, static_argnames=("timesteps", "out_hw", "dtype"))
 def encode_rate(
     image_u8: jnp.ndarray,
     rng: jax.Array,
     timesteps: int,
     out_hw: tuple[int, int] | None = None,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) Bernoulli spike trains."""
-    # f32 intensities: the Bernoulli threshold compare should not quantize.
+    """(B, H, W, 3) uint8 -> (T, B, H', W', 3) Bernoulli spike trains.
+    Spikes are exactly 0/1 so the output cast to any float dtype is
+    lossless; the Bernoulli threshold compare itself stays f32."""
     x = preprocess_video(image_u8[:, None], out_hw, jnp.float32)[0]
     u = jax.random.uniform(rng, (timesteps,) + x.shape, dtype=jnp.float32)
-    return (u < x[None]).astype(jnp.float32)
+    return (u < x[None]).astype(dtype)

@@ -42,7 +42,7 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
 
     @jax.jit
     def predict(params, images_u8):
-        frames = preprocess_video(images_u8)
+        frames = preprocess_video(images_u8, dtype=detector.module.dtype)
         raw_maps, _ = detector.module.apply({"params": params}, frames)
         boxes, scores = decode_predictions(
             raw_maps, reg_max, nc, image_hw=images_u8.shape[2:4]

@@ -55,15 +55,23 @@ LANE = 128
 _CHUNK_BUDGET_BYTES = 1024 * 1024
 
 
-def pick_tiles(h: int, wc: int, t_steps: int) -> tuple[int, int]:
+def pick_tiles(
+    h: int, wc: int, t_steps: int, itemsize: int = 2
+) -> tuple[int, int] | None:
     """(tile_h, chunk) for the (T, B, H, WC) block grid, chosen so the whole
     H axis divides exactly — padding H would force a full pad copy + output
     slice of a multi-hundred-MB tensor, which costs more than the kernel
     saves. Mosaic accepts block dim -2 values that are multiples of 8 OR
-    equal to the array dim, so odd H (60, 30, 15) runs with tile_h == H."""
-    budget_elems = max(LANE, _CHUNK_BUDGET_BYTES // (t_steps * 2))
+    equal to the array dim, so odd H (60, 30, 15) runs with tile_h == H.
+
+    ``itemsize`` is x's element size: the budget is in bytes, so fp32
+    inputs get half the elements of bf16. Returns None when even the
+    smallest legal block busts the budget (very large T*H*itemsize) —
+    callers must then take the XLA path instead of failing in Mosaic with
+    a scoped-vmem error at compile time."""
+    budget_elems = max(LANE, _CHUNK_BUDGET_BYTES // (t_steps * itemsize))
     tiles_h = [d for d in range(8, h + 1, 8) if h % d == 0] or [h]
-    best = (tiles_h[0], LANE)
+    best = None
     best_sz = 0
     d = wc // LANE
     for th in tiles_h:
@@ -105,6 +113,11 @@ def _fwd_res_kernel(
         v_pre = p.decay * v + cur
         s = (v_pre >= p.threshold).astype(jnp.float32)
         s_ref[t, 0] = s.astype(s_ref.dtype)
+        # The residual is stored in the activation dtype (bf16 on the real
+        # path): an fp32 residual would double the HBM write volume of the
+        # fused forward. With the default soft reset the backward is a
+        # smooth function of v_pre, so the rounding perturbs gradients by
+        # O(bf16 eps) — bounded in test_bf16_gradients_tolerance.
         vpre_ref[t, 0] = v_pre.astype(vpre_ref.dtype)
         if p.reset == "soft":
             v = v_pre - s * p.threshold
@@ -134,9 +147,20 @@ def _specs(t_steps, tile_h, chunk):
     return x_blk, ab_blk, v_blk
 
 
+def _tiles_or_raise(h, wc, t_steps, itemsize):
+    tiles = pick_tiles(h, wc, t_steps, itemsize)
+    if tiles is None:
+        raise ValueError(
+            f"affine_lif_pallas: no block fits the VMEM budget for "
+            f"H={h}, WC={wc}, T={t_steps}, itemsize={itemsize} — gate on "
+            f"supported(shape, dtype) and use affine_lif_xla instead"
+        )
+    return tiles
+
+
 def _run_fwd(x4, a3, b3, v03, p: LIFParams, interpret, with_residuals):
     t_steps, bsz, h, wc = x4.shape
-    tile_h, chunk = pick_tiles(h, wc, t_steps)
+    tile_h, chunk = _tiles_or_raise(h, wc, t_steps, x4.dtype.itemsize)
     grid = (bsz, wc // chunk, h // tile_h)
     x_blk, ab_blk, v_blk = _specs(t_steps, tile_h, chunk)
     if with_residuals:
@@ -214,7 +238,7 @@ def _bwd_kernel(
 
 def _run_bwd(vpre4, x4, a3, gs4, gvfin3, p: LIFParams, interpret):
     t_steps, bsz, h, wc = x4.shape
-    tile_h, chunk = pick_tiles(h, wc, t_steps)
+    tile_h, chunk = _tiles_or_raise(h, wc, t_steps, x4.dtype.itemsize)
     grid = (bsz, wc // chunk, h // tile_h)
     x_blk, ab_blk, v_blk = _specs(t_steps, tile_h, chunk)
     return pl.pallas_call(
@@ -252,9 +276,14 @@ def affine_lif_pallas(
     return s, vfin
 
 
-def supported(shape: tuple[int, ...]) -> bool:
+def supported(shape: tuple[int, ...], dtype=jnp.bfloat16) -> bool:
+    """Lane rule AND a VMEM-budget fit for this dtype/T: when no legal
+    block fits the budget the kernel would fail at Mosaic compile time
+    ("scoped vmem limit exceeded"), so callers route to the XLA path."""
     t, bsz, h, w, c = shape
-    return (w * c) % LANE == 0
+    if (w * c) % LANE != 0:
+        return False
+    return pick_tiles(h, w * c, t, jnp.dtype(dtype).itemsize) is not None
 
 
 def _prep(x_t, a, b, v0):

@@ -152,11 +152,11 @@ class Detector:
 
         t = self.cfg.model.timesteps
         if encoding == "direct":
-            frames = encode_direct(image_u8, t)
+            frames = encode_direct(image_u8, t, dtype=self.module.dtype)
         elif encoding == "rate":
             if rng is None:
                 rng = jax.random.PRNGKey(0)
-            frames = encode_rate(image_u8, rng, t)
+            frames = encode_rate(image_u8, rng, t, dtype=self.module.dtype)
         else:
             raise ValueError(f"unknown encoding '{encoding}'")
         raw_maps, _ = self.apply(params, frames)
@@ -167,13 +167,25 @@ class Detector:
 
     def spike_rates(self, params, frames_t: jnp.ndarray) -> dict[str, float]:
         """Mean firing rate of every spiking block for one batch — the SNN
-        activity/sparsity diagnostic (flat dict: 'backbone/stem1' -> rate)."""
-        _, variables = self.module.apply(
-            {"params": params}, frames_t, mutable=["intermediates"]
-        )
+        activity/sparsity diagnostic (flat dict: 'backbone/stem1' -> rate).
+
+        The mutable-intermediates forward is jitted (cached on the
+        Detector): unjitted flax ``apply`` dispatches op-by-op, which costs
+        minutes per call through a remote-device tunnel."""
+        fn = getattr(self, "_spike_rates_fn", None)
+        if fn is None:
+
+            @jax.jit
+            def fn(params, frames_t):
+                _, variables = self.module.apply(
+                    {"params": params}, frames_t, mutable=["intermediates"]
+                )
+                return variables["intermediates"]
+
+            self._spike_rates_fn = fn
         # One bulk readback (per-scalar device_get would round-trip the
         # tunnel once per layer).
-        host = jax.device_get(variables["intermediates"])
+        host = jax.device_get(fn(params, frames_t))
 
         flat = {}
 

@@ -182,6 +182,6 @@ def run_affine_lif(
     impl = _LIF_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and supported(x_t.shape):
+    if impl == "pallas" and supported(x_t.shape, x_t.dtype):
         return affine_lif_pallas(x_t, a, b, v0, p, False)
     return affine_lif_xla(x_t, a, b, v0, p)

@@ -117,6 +117,9 @@ def make_step_fns(
     """
     cfg = detector.cfg
     loss_fn = DetectionLoss(cfg.model.num_classes, cfg.model.hyp)
+    # Honor runtime.precision end-to-end: the preprocessing stage emits the
+    # model's compute dtype, so "f32" never quantizes inputs through bf16.
+    in_dtype = detector.module.dtype
 
     if remat_chunk:
         # Two separately-checkpointed callables: non-final chunks must drop
@@ -175,7 +178,7 @@ def make_step_fns(
             return raw_maps
 
     def _grads_of(params, batch, axis):
-        frames = preprocess_video(batch["images"])  # (T, B, H, W, 3)
+        frames = preprocess_video(batch["images"], dtype=in_dtype)
 
         def objective(params):
             raw_maps = loss_of(params, frames)
@@ -266,7 +269,7 @@ def make_step_fns(
         return new_state, metrics
 
     def _eval_step(params, batch, axis=None):
-        frames = preprocess_video(batch["images"])
+        frames = preprocess_video(batch["images"], dtype=in_dtype)
         raw_maps = loss_of(params, frames)
         lc = loss_fn(
             raw_maps,

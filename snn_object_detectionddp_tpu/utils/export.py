@@ -26,7 +26,7 @@ def build_serving_fn(detector, params, conf: float = 0.25, iou: float = 0.45,
     nc = detector.cfg.model.num_classes
 
     def serve(images_u8):
-        frames = preprocess_video(images_u8)
+        frames = preprocess_video(images_u8, dtype=detector.module.dtype)
         raw, _ = detector.module.apply({"params": params}, frames)
         from ..models.detect import decode_predictions
 
@@ -84,7 +84,9 @@ def build_streaming_fns(detector, params, conf: float = 0.25,
     nc = detector.cfg.model.num_classes
 
     def _run(image_u8, rec_state):
-        frames = preprocess_video(image_u8[:, None])  # (1, B, H, W, 3)
+        frames = preprocess_video(
+            image_u8[:, None], dtype=detector.module.dtype
+        )  # (1, B, H, W, 3)
         raw, new_state = detector.module.apply(
             {"params": params}, frames, rec_state
         )

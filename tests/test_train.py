@@ -341,3 +341,30 @@ def test_legacy_groupnorm_checkpoint_migrates(tmp_path, setup):
         jax.tree.leaves(params), jax.tree.leaves(packed["state"]["params"])
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f32_precision_honored_end_to_end():
+    """runtime.precision='f32' must produce NO bf16 tensor anywhere in the
+    step program — in particular the preprocessing stage must not quantize
+    inputs through bf16 before the first conv (VERDICT r2 weak #5)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import make_optimizer, make_step_fns
+
+    cfg = _tiny_cfg()
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    tx, schedule = make_optimizer(cfg.training.learning_rate, total_steps=10)
+    fns = make_step_fns(det, tx, schedule)
+    batch = _batch(np.random.RandomState(0))
+    jaxpr = jax.make_jaxpr(lambda p, b: fns.eval_step(p, b))(params, batch)
+    assert "bf16" not in str(jaxpr)
+    # And the bf16 default still uses bf16 (the A/B control actually A/Bs).
+    cfg2 = _tiny_cfg()
+    det2 = Detector.from_config(cfg2)
+    params2 = det2.init_params(jax.random.PRNGKey(0))
+    fns2 = make_step_fns(det2, tx, schedule)
+    jaxpr2 = jax.make_jaxpr(lambda p, b: fns2.eval_step(p, b))(params2, batch)
+    assert "bf16" in str(jaxpr2)
