@@ -144,9 +144,19 @@ class DSECIndex:
             frame_ts = np.loadtxt(
                 seq_path / "images/timestamps.txt", usecols=0, dtype=np.int64
             )
+            tracks_path = seq_path / "object_detections/left/tracks.npy"
             if self.mode in ("train", "val"):
-                tracks = np.load(seq_path / "object_detections/left/tracks.npy")
+                tracks = np.load(tracks_path)
                 self.labels[str(image_dir)] = process_tracks(tracks, frame_ts)
+            elif tracks_path.exists():
+                # Test split: GT is optional (the reference's test mode never
+                # loads labels, dataset.py:226-228, but its legacy benchmark
+                # scores against tracks.npy when present, utils.py:21-82,
+                # 594-637) — index it so evals/legacy.py can report
+                # avg-IoU / precision@0.5 quality metrics.
+                self.labels[str(image_dir)] = process_tracks(
+                    np.load(tracks_path), frame_ts
+                )
             if num_images >= self.seq_len:
                 names = tuple(f.name for f in image_files)
                 for i in range(num_images - self.seq_len + 1):

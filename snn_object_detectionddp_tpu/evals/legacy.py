@@ -121,8 +121,15 @@ def process_sequence(
     flow_downsample: float = 0.5,
     annotate_dir: str | None = None,
     compute_stride=None,
+    gt_boxes: list[np.ndarray] | None = None,
 ) -> dict:
     """Run one sequence; returns detections + timing/FLOPs stats.
+
+    ``gt_boxes``: optional per-frame (N, 4) xyxy-pixel ground truth,
+    aligned with ``frame_paths``. When given, the report includes the
+    reference's quality metrics (avg best-IoU per detection +
+    precision@0.5, utils.py:594-637) and the mean GT box speed
+    (utils.py:285-311) alongside FPS/FLOPs.
 
     ``compute_stride``: optional adaptive-stride hook
     ``(prev_iou, curr_iou, current_stride) -> new_stride`` (reference:
@@ -136,7 +143,9 @@ def process_sequence(
 
     @jax.jit
     def predict(params, image_u8, rec_state):
-        frames = preprocess_video(image_u8[:, None])  # (1, B=1, H, W, 3)
+        frames = preprocess_video(
+            image_u8[:, None], dtype=detector.module.dtype
+        )  # (1, B=1, H, W, 3)
         raw, new_state = detector.module.apply({"params": params}, frames, rec_state)
         boxes, scores = decode_predictions(
             raw, reg_max, nc, image_hw=image_u8.shape[1:3]
@@ -148,7 +157,7 @@ def process_sequence(
     def predict_crop(params, crop_u8):
         # Cropped re-detection is stateless (the recurrent state is tied to
         # full-frame geometry); matches the reference's stateless YOLO.
-        frames = preprocess_video(crop_u8[:, None])
+        frames = preprocess_video(crop_u8[:, None], dtype=detector.module.dtype)
         raw, _ = detector.module.apply({"params": params}, frames, None)
         boxes, scores = decode_predictions(
             raw, reg_max, nc, image_hw=crop_u8.shape[1:3]
@@ -161,6 +170,7 @@ def process_sequence(
     retrieval_time = 0.0
     compute_time = 0.0
     det_count = 0
+    crop_det_count = 0  # subset of det_count that ran the cropped program
     flow_count = 0
     flow_pixels = 0
     rec_state = None
@@ -207,6 +217,7 @@ def process_sequence(
                 [cx, cy, cx, cy], np.float32
             )
             det_count += 1
+            crop_det_count += 1
         elif detect_now:
             prev_boxes = boxes  # flow-propagated boxes before refresh
             out, rec_state = predict(
@@ -256,15 +267,34 @@ def process_sequence(
     total_time = time.perf_counter() - t_total0
     n = len(frame_paths)
 
-    m_flops = model_flops(predict, (params, np.zeros((1, *cv2.imread(frame_paths[0]).shape), np.uint8), rec_state)) if n else 0.0
+    # FLOPs probes reuse the last decoded frame's geometry (all frames of a
+    # sequence share dims) — no extra cv2.imread. The cropped method's
+    # blended figure charges each cropped call the *cropped* program's
+    # FLOPs (the whole point of cropping is fewer FLOPs/frame); only the
+    # full-frame detections are charged the full-frame probe.
+    m_flops = 0.0
+    m_flops_crop = 0.0
+    if n:
+        h_img, w_img = prev_frame.shape[:2]
+        m_flops = model_flops(
+            predict,
+            (params, np.zeros((1, h_img, w_img, 3), np.uint8), rec_state),
+        )
+        if crop_det_count:
+            ch = min(h_img, -(-(h_img // 2) // 32) * 32)
+            cw = min(w_img, -(-(w_img // 2) // 32) * 32)
+            m_flops_crop = model_flops(
+                predict_crop, (params, np.zeros((1, ch, cw, 3), np.uint8))
+            )
     flow_flops = flow_pixels * FARNEBACK_FLOPS_PER_PIXEL
+    det_flops = (
+        (det_count - crop_det_count) * m_flops + crop_det_count * m_flops_crop
+    )
     blended = (
-        (flow_flops + det_count * m_flops) / max(det_count + flow_count, 1)
-        if n
-        else 0.0
+        (flow_flops + det_flops) / max(det_count + flow_count, 1) if n else 0.0
     )
 
-    return {
+    stats = {
         "detections": detections,
         "num_frames": n,
         "fps_incl_retrieval": n / max(total_time, 1e-9),
@@ -274,9 +304,15 @@ def process_sequence(
         "model_flops": m_flops,
         "blended_flops_per_frame": blended,
         "det_count": det_count,
+        "crop_det_count": crop_det_count,
         "flow_count": flow_count,
         "stride_list": stride_list,
     }
+    if gt_boxes is not None:
+        stats.update(eval_metric_dsec(detections, gt_boxes))
+        vel = gt_velocity(gt_boxes)
+        stats["gt_velocity_px_s"] = float(np.mean(vel)) if vel else 0.0
+    return stats
 
 
 def process_dataset(
@@ -312,17 +348,32 @@ def process_dataset(
             if annotate
             else None
         )
+        # Per-frame xyxy-pixel GT when the test split ships tracks.npy
+        # (DSECIndex loads it opportunistically in test mode), enabling the
+        # reference's avg-IoU / precision@0.5 report (utils.py:594-637).
+        gt_boxes = None
+        per_frame = index.labels.get(seq_dir)
+        if per_frame is not None:
+            gt_boxes = [_gt_frame_xyxy(per_frame, i) for i in range(len(paths))]
         stats = process_sequence(
             detector, params, paths, method=method, stride=stride,
             annotate_dir=annotate_dir, compute_stride=compute_stride,
+            gt_boxes=gt_boxes,
         )
         results[seq_dir] = stats
-        print(
+        line = (
             f"[{Path(seq_dir).parts[-4]}] frames={stats['num_frames']} "
             f"fps_incl={stats['fps_incl_retrieval']:.2f} "
             f"fps_excl={stats['fps_excl_retrieval']:.2f} "
             f"blended_gflops/frame={stats['blended_flops_per_frame'] / 1e9:.3f}"
         )
+        if "avg_iou" in stats:
+            line += (
+                f" avg_iou={stats['avg_iou']:.3f} "
+                f"precision@0.5={stats['precision']:.3f} "
+                f"gt_vel={stats['gt_velocity_px_s']:.1f}px/s"
+            )
+        print(line)
 
     agg = {
         "fps_incl_retrieval": float(
@@ -341,7 +392,26 @@ def process_dataset(
         if results
         else 0.0,
     }
+    scored = [r for r in results.values() if "avg_iou" in r]
+    if scored:
+        agg["avg_iou"] = float(np.mean([r["avg_iou"] for r in scored]))
+        agg["precision"] = float(np.mean([r["precision"] for r in scored]))
+        agg["num_detections"] = int(
+            np.sum([r["num_detections"] for r in scored])
+        )
     return {"per_sequence": results, "aggregate": agg}
+
+
+def _gt_frame_xyxy(per_frame: dict[int, np.ndarray], i: int) -> np.ndarray:
+    """One frame's indexed (N, 5) [class, cx, cy, w, h] pixel labels ->
+    (N, 4) xyxy for the quality metrics; empty (0, 4) when unlabeled."""
+    raw = per_frame.get(i)
+    if raw is None or raw.shape[0] == 0:
+        return np.zeros((0, 4), np.float32)
+    cx, cy, w, h = raw[:, 1], raw[:, 2], raw[:, 3], raw[:, 4]
+    return np.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1
+    ).astype(np.float32)
 
 
 def compute_iou_list(

