@@ -171,6 +171,12 @@ if __name__ == "__main__":
     args = ap.parse_args()
     cfg = load_config(args.config)
 
+    # Multi-host launch (SURVEY §5 distributed row): initialize DCN BEFORE
+    # the first backend touch (Detector.from_config inits params on device).
+    from snn_object_detectionddp_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed(cfg)
+
     detector = Detector.from_config(cfg)
 
     if cfg.mode == "train":

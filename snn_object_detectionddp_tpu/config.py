@@ -123,6 +123,13 @@ class MeshConfig:
     ``device: "cuda:3"`` string, config.yaml:13)."""
 
     data: int = -1  # data-parallel axis size; -1 = all visible devices
+    # --- multi-host (DCN) launch keys; None = single host. Env-var
+    # fallbacks COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID let one
+    # shared config.yaml drive every host of a pod slice
+    # (parallel/mesh.py::maybe_init_distributed).
+    coordinator: str | None = None  # "host:port" of process 0
+    num_processes: int | None = None  # total host processes (auto on TPU pods)
+    process_id: int | None = None  # this host's rank (auto on TPU pods)
 
 
 @dataclass

@@ -38,7 +38,48 @@ def init_distributed(
             kwargs["num_processes"] = num_processes
         if process_id is not None:
             kwargs["process_id"] = process_id
+        # Generous barrier: on loaded hosts (CI, shared dev boxes) workers
+        # can take minutes to reach the coordinator rendezvous.
+        kwargs["initialization_timeout"] = 600
         jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
+
+
+def maybe_init_distributed(cfg) -> None:
+    """CLI entry for multi-host: initialize jax.distributed from
+    ``mesh.coordinator`` / ``mesh.num_processes`` / ``mesh.process_id``
+    config keys, with env-var fallbacks (COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID) so one config.yaml can be shared by every
+    host of a pod slice. Must run before any other JAX backend touch
+    (main.py calls it first). No-op when no coordinator is configured."""
+    import os
+
+    mesh_cfg = getattr(cfg, "mesh", None)
+    coord = getattr(mesh_cfg, "coordinator", None) or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if not coord:
+        return
+
+    def _pick(attr, env):
+        v = getattr(mesh_cfg, attr, None)
+        if v is None and os.environ.get(env) is not None:
+            v = int(os.environ[env])
+        return v
+
+    init_distributed(
+        coord,
+        num_processes=_pick("num_processes", "NUM_PROCESSES"),
+        process_id=_pick("process_id", "PROCESS_ID"),
+    )
+    print(
+        f"jax.distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()} via {coord}"
+    )
+
+
+def is_main_process() -> bool:
+    """True on the host that owns logging/checkpoint writes (rank 0)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(data: int = -1, devices: list | None = None) -> Mesh:

@@ -83,7 +83,15 @@ def train_loop(
 ) -> dict:
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-    writer = make_writer(save_dir)
+    # Multi-host: metrics/state are replicated, so rank 0 owns all event
+    # and checkpoint writes (other ranks would produce duplicate files).
+    is_main = jax.process_index() == 0
+    if is_main:
+        writer = make_writer(save_dir)
+    else:
+        from ..utils.logging import NullWriter
+
+        writer = NullWriter()
     logger = MetricsLogger(writer)
     ckptr = AsyncCheckpointer()
 
@@ -112,7 +120,9 @@ def train_loop(
             try:
                 from ..data.encoding import preprocess_video
 
-                frames = preprocess_video(first_val_batch["images"])
+                frames = preprocess_video(
+                    first_val_batch["images"], dtype=detector.module.dtype
+                )
                 rates = detector.spike_rates(state["params"], frames)
                 for name, rate in rates.items():
                     writer.add_scalar(f"SpikeRates/{name}", rate, epoch)
@@ -137,7 +147,7 @@ def train_loop(
         # reference's stale value, train.py:207 / SURVEY §2.7).
         cadence = getattr(cfg.training, "save_every_epochs", 1)
         is_last = epoch == epochs - 1
-        if is_last or (cadence and (epoch + 1) % cadence == 0):
+        if is_main and (is_last or (cadence and (epoch + 1) % cadence == 0)):
             latest = save_dir / "latest.pt"
             ckptr.save(state, epoch, best_val_loss, latest)
             if best_snap is not None:

@@ -36,6 +36,24 @@ class _JsonlWriter:
         self._f.close()
 
 
+class NullWriter:
+    """No-op writer for non-main processes in multi-host training (every
+    process stepping the same replicated metrics would write duplicate —
+    and file-contending — event streams)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_scalars(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def make_writer(save_dir: str | Path):
     log_dir = os.path.join(str(save_dir), "runs")  # reference: train.py:148
     try:

@@ -71,5 +71,41 @@ def main() -> None:
     print(f"MP_OK pid={pid} sum={s}", flush=True)
 
 
+def main_train() -> None:
+    """End-to-end multi-host CLI-path training: exactly what `python
+    main.py` does on each host of a pod slice — maybe_init_distributed from
+    the shared config (rank from the PROCESS_ID env var), then
+    main.train_code over the real data pipeline, sharded steps, and
+    checkpoint writes (rank 0 only)."""
+    cfg_path = sys.argv[2]
+
+    from snn_object_detectionddp_tpu.config import load_config
+    from snn_object_detectionddp_tpu.parallel.mesh import maybe_init_distributed
+
+    cfg = load_config(cfg_path)
+    maybe_init_distributed(cfg)
+    assert jax.process_count() == 2, jax.process_count()
+    pid = jax.process_index()
+
+    import main as main_mod
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    detector = Detector.from_config(cfg)
+    main_mod.train_code(cfg, detector)
+
+    from pathlib import Path
+
+    latest = Path(cfg.training.save_dir) / "latest.pt"
+    if pid == 0:
+        assert latest.exists(), "rank 0 must write latest.pt"
+    else:
+        # Non-main ranks must not have raced the checkpoint writes.
+        pass
+    print(f"MP_TRAIN_OK pid={pid}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        main_train()
+    else:
+        main()
