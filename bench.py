@@ -380,6 +380,76 @@ def measure_streaming(n_frames: int = 200) -> dict:
     }
 
 
+def measure_serving(n_streams: int = 8, frames_per_stream: int = 25,
+                    cfg=None) -> dict:
+    """Concurrent-stream serving throughput through DetectionService (the
+    serve.py core, no HTTP): N client threads, each a distinct stream, vs a
+    single-stream baseline. Measures the cross-stream micro-batching win —
+    round 2's one-job-at-a-time worker held every deployment at B=1
+    latency (~32 qps on this host vs ~288 f/s chip capability)."""
+    import threading
+
+    import jax
+    import numpy as np
+
+    from snn_object_detectionddp_tpu.config import Config
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.serve import DetectionService
+
+    if cfg is None:
+        cfg = Config()
+        cfg.model.num_classes = 8
+    h, w = cfg.model.image_size
+    detector = Detector.from_config(cfg)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    svc = DetectionService(detector, params, max_batch=8).start()
+    svc.warmup()
+    rng = np.random.RandomState(0)
+    frames = rng.randint(
+        0, 255, size=(n_streams, h, w, 3), dtype=np.uint8
+    )
+
+    def run_streams(k: int, tag: str) -> dict:
+        lat: list[float] = []
+        batches: list[int] = []
+        lock = threading.Lock()
+
+        def client(i):
+            for _ in range(frames_per_stream):
+                out = svc.detect(f"{tag}{i}", frames[i])
+                with lock:
+                    lat.append(out["latency_ms"])
+                    batches.append(out.get("batch", 1))
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(k)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.perf_counter() - t0
+        return {
+            "qps": round(k * frames_per_stream / elapsed, 2),
+            "p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2),
+            "mean_batch": round(float(np.mean(batches)), 2),
+        }
+
+    single = run_streams(1, "solo")
+    multi = run_streams(n_streams, "cam")
+    svc.stop()
+    return {
+        "serving_qps_1stream": single["qps"],
+        "serving_p50_ms_1stream": single["p50_ms"],
+        f"serving_qps_{n_streams}streams": multi["qps"],
+        f"serving_p50_ms_{n_streams}streams": multi["p50_ms"],
+        f"serving_p99_ms_{n_streams}streams": multi["p99_ms"],
+        "serving_mean_batch": multi["mean_batch"],
+    }
+
+
 def cpu_baseline() -> dict | None:
     if CACHE_FILE.exists():
         return json.loads(CACHE_FILE.read_text())
@@ -427,6 +497,12 @@ if __name__ == "__main__":
         action="store_true",
         help="also measure long-T train-step time/memory with and without "
         "chunked remat (T=16/32; BASELINE config #5)",
+    )
+    ap.add_argument(
+        "--serving",
+        action="store_true",
+        help="also measure concurrent-stream serving qps through "
+        "DetectionService (cross-stream micro-batching)",
     )
     ap.add_argument("--longt-probe", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -491,6 +567,8 @@ if __name__ == "__main__":
         report["eval_pipeline_fps"] = round(pipeline_fps, 2)
     if args.streaming:
         report.update(measure_streaming())
+    if args.serving:
+        report.update(measure_serving())
     if args.longt:
         report["longt"] = longt_table()
     print(json.dumps(report))

@@ -6,15 +6,21 @@ Design for the TPU serving path:
 
 - ONE device worker thread owns the chip and runs the jitted T=1
   streaming step (`Detector` forward with carried recurrent state +
-  on-device decode/NMS — the same program `bench.py --streaming` measures
-  at ~3.5 ms/frame device-paced). HTTP handler threads enqueue requests;
-  the worker drains the queue in arrival order, so concurrent streams
-  interleave without device contention.
+  on-device decode/NMS). HTTP handler threads enqueue requests; the
+  worker drains the queue in arrival order.
+- **Cross-stream micro-batching** (the standard TPU serving move): the
+  worker drains up to ``max_batch`` queued jobs from *distinct* streams,
+  stacks their images and recurrent-state pytrees along the batch axis,
+  and runs ONE B=K program — so N concurrent streams ride the chip's
+  batch throughput (~2.3 ms/frame at B=32) instead of serializing at the
+  B=1 latency (~3.5 ms + dispatch each). Same-stream jobs are deferred to
+  the next round (state must chain). Batch sizes are padded up to a
+  power of two so only log2(max_batch)+1 programs ever compile.
 - Per-stream recurrent state lives on device between requests, keyed by
   the client's ``stream`` id (the SNN/ConvLSTM state is the whole point
   of the model: detections integrate the stream's history).
-- Fixed input geometry (the model's configured image size): one compiled
-  program, no recompiles at serve time.
+- Fixed input geometry (the model's configured image size): the program
+  set is compiled at warmup, no recompiles at serve time.
 
 Endpoints (JSON):
   POST /detect  {"stream": "cam0", "image": <base64 png/jpg>}
@@ -44,14 +50,17 @@ class _Job:
     stream: str
     image_u8: Any  # (H, W, 3) uint8 numpy
     reply: queue.Queue = field(default_factory=lambda: queue.Queue(maxsize=1))
+    t0: float = field(default_factory=time.perf_counter)  # enqueue time
 
 
 class DetectionService:
     """Device worker + per-stream state registry (transport-agnostic)."""
 
     def __init__(self, detector, params, conf: float = 0.3, iou: float = 0.45,
-                 max_det: int = 100, max_streams: int = 64):
+                 max_det: int = 100, max_streams: int = 64,
+                 max_batch: int = 8, reply_timeout_s: float = 120.0):
         import jax
+        import jax.numpy as jnp
 
         from .data.encoding import preprocess_video
         from .models.detect import decode_predictions
@@ -64,14 +73,28 @@ class DetectionService:
         # dev tunnel). Committed device arrays are reused by every call.
         self.params = jax.device_put(params)
         self.max_streams = max_streams
+        self.reply_timeout_s = reply_timeout_s
         h, w = detector.cfg.model.image_size
         self.image_hw = (h, w)
         reg_max = detector.cfg.model.hyp.reg_max
         nc = detector.cfg.model.num_classes
+        # Padded program sizes: 1, 2, 4, ... max_batch — a fixed, small
+        # set of compiled programs; a drained batch runs at the next size
+        # up, padded with zero images/states (discarded slots).
+        self.batch_sizes = []
+        k = 1
+        while k < max_batch:
+            self.batch_sizes.append(k)
+            k *= 2
+        self.batch_sizes.append(max_batch)
+        self.max_batch = max_batch
 
         @jax.jit
-        def predict(params, image_u8, rec_state):
-            frames = preprocess_video(image_u8[None, None])  # (1,1,H,W,3)
+        def predict(params, images_u8, rec_state):
+            # images_u8: (K, H, W, 3) -> time-major (1, K, H, W, 3)
+            frames = preprocess_video(
+                images_u8[:, None], dtype=detector.module.dtype
+            )
             raw, new_state = detector.module.apply(
                 {"params": params}, frames, rec_state
             )
@@ -84,14 +107,34 @@ class DetectionService:
             return out, new_state
 
         self._predict = predict
+        # Fresh-stream state: the model zero-inits recurrent state on the
+        # first step (state=None), so a zeros pytree of the state structure
+        # is the exact first-frame state; eval_shape gives the structure
+        # without any device work, and every program size K sees only
+        # concrete states (one trace per size — no state=None signature).
+        struct = jax.eval_shape(
+            lambda p, img: predict(p, img, None)[1],
+            self.params,
+            jax.ShapeDtypeStruct((1, h, w, 3), jnp.uint8),
+        )
+        self._zero_state1 = jax.device_put(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+        )
         self._states: dict[str, Any] = {}
         self._lru: list[str] = []
-        # Guards _states/_lru: mutated by the device worker AND by /reset
-        # from HTTP handler threads — unsynchronized, a concurrent reset
-        # could race the worker's LRU bookkeeping (ValueError) or be
-        # silently undone by the worker re-adding the state it just ran.
+        # Per-stream generation counter: bumped by every state drop
+        # (/reset or LRU eviction). The worker snapshots the generation
+        # with the state and only commits the post-predict state if it is
+        # unchanged — so a reset landing while that stream's detect is in
+        # flight cannot be silently overwritten by the stale result.
+        self._gen: dict[str, int] = {}
+        # Guards _states/_lru/_gen: mutated by the device worker AND by
+        # /reset from HTTP handler threads.
         self._state_lock = threading.Lock()
         self._q: queue.Queue[_Job | None] = queue.Queue(maxsize=256)
+        # Same-stream jobs deferred from a drained batch (state must
+        # chain); worker-local FIFO consumed before the queue.
+        self._deferred: list[_Job] = []
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._started = False
 
@@ -109,21 +152,19 @@ class DetectionService:
             self._started = False
 
     def warmup(self):
-        """Compile BOTH serving programs before accepting traffic: the
-        first-frame trace (rec_state=None — the model builds zero state)
-        and the steady-state trace (concrete state pytree) are different
-        jit signatures; without the second, the first repeat frame of
-        every deployment would stall on a fresh multi-minute compile."""
+        """Compile every program size before accepting traffic (all sizes
+        see only concrete-state signatures — see _zero_state1); a size
+        first hit at serve time would stall its whole batch on a fresh
+        multi-minute compile."""
+        import jax
         import numpy as np
 
         h, w = self.image_hw
-        for _ in range(2):
-            job = _Job("__warmup__", np.zeros((h, w, 3), np.uint8))
-            self._q.put(job)
-            out = job.reply.get()
-            if isinstance(out, Exception):
-                raise out
-        self.reset("__warmup__")
+        for k in self.batch_sizes:
+            imgs = np.zeros((k, h, w, 3), np.uint8)
+            state = self._stack_states([self._zero_state1] * k)
+            out, _ = self._predict(self.params, imgs, state)
+            jax.block_until_ready(out)
 
     # -- API ---------------------------------------------------------------
     def detect(self, stream: str, image_u8) -> dict:
@@ -134,55 +175,164 @@ class DetectionService:
                 "(the serving program is compiled for the configured "
                 "model.image_size; resize client-side)"
             )
+        if not (self._started and self._worker.is_alive()):
+            raise RuntimeError("detection worker is not running")
         job = _Job(stream, image_u8)
         self._q.put(job)
-        out = job.reply.get()
+        # Bounded wait + liveness check: a crashed worker must surface as
+        # an error to the caller, never a forever-blocked HTTP handler.
+        deadline = time.perf_counter() + self.reply_timeout_s
+        while True:
+            try:
+                out = job.reply.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if not self._worker.is_alive():
+                    raise RuntimeError(
+                        "detection worker died while processing"
+                    ) from None
+                if time.perf_counter() > deadline:
+                    raise TimeoutError(
+                        f"no result within {self.reply_timeout_s}s"
+                    ) from None
         if isinstance(out, Exception):
             raise out
         return out
 
     def reset(self, stream: str) -> None:
         with self._state_lock:
-            self._states.pop(stream, None)
-            if stream in self._lru:
-                self._lru.remove(stream)
+            self._drop_stream_locked(stream)
+
+    def _drop_stream_locked(self, stream: str) -> None:
+        self._states.pop(stream, None)
+        if stream in self._lru:
+            self._lru.remove(stream)
+        # Invalidate any in-flight compute for this stream (see _gen).
+        self._gen[stream] = self._gen.get(stream, 0) + 1
 
     @property
     def num_streams(self) -> int:
         return len(self._states)
 
     # -- device worker -----------------------------------------------------
+    @staticmethod
+    def _stack_states(states: list):
+        import jax
+        import jax.numpy as jnp
+
+        if len(states) == 1:
+            return states[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
+
+    def _next_jobs(self) -> list | None:
+        """Blocking take of one job, then a non-blocking drain of up to
+        max_batch jobs from *distinct* streams (a stream's requests must
+        chain through its state, so same-stream jobs defer to the next
+        round). Returns None on the stop sentinel."""
+        if self._deferred:
+            first = self._deferred.pop(0)
+        else:
+            first = self._q.get()
+            if first is None:
+                return None
+        jobs = [first]
+        streams = {first.stream}
+        # Deferred jobs first (FIFO per stream), then fresh queue items.
+        i = 0
+        while len(jobs) < self.max_batch and i < len(self._deferred):
+            if self._deferred[i].stream in streams:
+                i += 1
+                continue
+            j = self._deferred.pop(i)
+            jobs.append(j)
+            streams.add(j.stream)
+        while len(jobs) < self.max_batch:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-post: stop after this batch
+                break
+            if nxt.stream in streams:
+                self._deferred.append(nxt)
+            else:
+                jobs.append(nxt)
+                streams.add(nxt.stream)
+        return jobs
+
     def _run(self):
         import jax
         import numpy as np
 
         while True:
-            job = self._q.get()
-            if job is None:
+            jobs = self._next_jobs()
+            if jobs is None:
+                # Answer anything still queued so no caller blocks on a
+                # retired worker.
+                leftovers = list(self._deferred)
+                self._deferred.clear()
+                while True:
+                    try:
+                        j = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if j is not None:
+                        leftovers.append(j)
+                for j in leftovers:
+                    j.reply.put(RuntimeError("service stopped"))
                 return
-            t0 = time.perf_counter()
             try:
-                state = self._states.get(job.stream)
+                n = len(jobs)
+                k = next(s for s in self.batch_sizes if s >= n)
+                with self._state_lock:
+                    entries = [
+                        (self._states.get(j.stream), self._gen.get(j.stream, 0))
+                        for j in jobs
+                    ]
+                states = [
+                    s if s is not None else self._zero_state1
+                    for s, _ in entries
+                ]
+                states += [self._zero_state1] * (k - n)  # padded slots
+                images = np.zeros((k, *self.image_hw, 3), np.uint8)
+                for i, j in enumerate(jobs):
+                    images[i] = j.image_u8
                 out, new_state = self._predict(
-                    self.params, jax.device_put(job.image_u8), state
+                    self.params, images, self._stack_states(states)
                 )
                 host = jax.device_get(out)
+                per_job_states = [
+                    jax.tree.map(lambda x, i=i: x[i : i + 1], new_state)
+                    for i in range(n)
+                ]
                 with self._state_lock:
-                    self._states[job.stream] = new_state
-                    if job.stream in self._lru:
-                        self._lru.remove(job.stream)
-                    self._lru.append(job.stream)
+                    for j, st, (_, gen0) in zip(jobs, per_job_states, entries):
+                        if self._gen.get(j.stream, 0) != gen0:
+                            continue  # reset landed mid-flight: discard
+                        self._states[j.stream] = st
+                        if j.stream in self._lru:
+                            self._lru.remove(j.stream)
+                        self._lru.append(j.stream)
                     while len(self._lru) > self.max_streams:  # bound mem
-                        self._states.pop(self._lru.pop(0), None)
-                valid = host["valid"][0]
-                job.reply.put({
-                    "boxes": np.asarray(host["boxes"][0][valid]).round(2).tolist(),
-                    "scores": np.asarray(host["scores"][0][valid]).round(4).tolist(),
-                    "classes": np.asarray(host["classes"][0][valid]).tolist(),
-                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
-                })
-            except Exception as e:  # surface to the caller, keep serving
-                job.reply.put(e)
+                        self._drop_stream_locked(self._lru[0])
+                now = time.perf_counter()
+                for i, j in enumerate(jobs):
+                    valid = host["valid"][i]
+                    j.reply.put({
+                        "boxes": np.asarray(
+                            host["boxes"][i][valid]
+                        ).round(2).tolist(),
+                        "scores": np.asarray(
+                            host["scores"][i][valid]
+                        ).round(4).tolist(),
+                        "classes": np.asarray(host["classes"][i][valid]).tolist(),
+                        "latency_ms": round((now - j.t0) * 1e3, 2),
+                        "batch": n,
+                    })
+            except Exception as e:  # surface to the callers, keep serving
+                for j in jobs:
+                    j.reply.put(e)
 
 
 def make_handler(service: DetectionService):
@@ -240,7 +390,7 @@ def make_handler(service: DetectionService):
     return Handler
 
 
-def serve(cfg, weights: str | None, port: int = 8000):
+def serve(cfg, weights: str | None, port: int = 8000, max_batch: int = 8):
     import jax
 
     from .models.detector import Detector
@@ -260,8 +410,8 @@ def serve(cfg, weights: str | None, port: int = 8000):
     else:
         params = detector.init_params(jax.random.PRNGKey(0))
         print("WARNING: serving a fresh random init (no --weights)", flush=True)
-    service = DetectionService(detector, params).start()
-    print("compiling serving program...", flush=True)
+    service = DetectionService(detector, params, max_batch=max_batch).start()
+    print("compiling serving programs...", flush=True)
     service.warmup()
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
     print(f"serving on :{port} (backend={jax.default_backend()})", flush=True)
@@ -280,5 +430,7 @@ if __name__ == "__main__":
     ap.add_argument("--config", default="config.yaml")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="cross-stream micro-batch cap (power of two)")
     args = ap.parse_args()
-    serve(load_config(args.config), args.weights, args.port)
+    serve(load_config(args.config), args.weights, args.port, args.max_batch)
