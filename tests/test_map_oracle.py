@@ -184,3 +184,160 @@ def test_map_oracle_catches_pool_truncation():
     assert (
         oracle_full["mAP50"] - ours_truncated["metrics/mAP50(B)"] > 0.1
     ), "oracle failed to expose pool truncation"
+
+
+def _cluster_scene(rng, img=640, n_clusters=3, per_cluster=3, fp=2):
+    """Heavily overlapping box clusters — the regime where matching-order
+    conventions (global-IoU sort vs score-descending walk) can diverge."""
+    gt_boxes, gt_cls = [], []
+    det_boxes, det_scores, det_cls = [], [], []
+    for _ in range(n_clusters):
+        cx, cy = rng.uniform(80, img - 80, 2)
+        c = rng.randint(NC)
+        for _ in range(per_cluster):
+            w, h = rng.uniform(50, 90, 2)
+            x1 = np.clip(cx - w / 2 + rng.uniform(-15, 15), 0, img - w)
+            y1 = np.clip(cy - h / 2 + rng.uniform(-15, 15), 0, img - h)
+            gt_boxes.append([x1, y1, x1 + w, y1 + h])
+            gt_cls.append(c)
+            if rng.rand() < 0.85:
+                det_boxes.append(
+                    [x1, y1, x1 + w, y1 + h] + rng.uniform(-8, 8, 4)
+                )
+                det_scores.append(rng.uniform(0.2, 0.99))
+                det_cls.append(c)
+    for _ in range(fp):
+        w, h = rng.uniform(30, 90, 2)
+        x1, y1 = rng.uniform(0, img - 90, 2)
+        det_boxes.append([x1, y1, x1 + w, y1 + h])
+        det_scores.append(rng.uniform(0.05, 0.4))
+        det_cls.append(rng.randint(NC))
+    return {
+        "det_boxes": np.asarray(det_boxes, np.float64).reshape(-1, 4),
+        "det_scores": np.asarray(det_scores, np.float64),
+        "det_cls": np.asarray(det_cls, int),
+        "gt_boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+        "gt_cls": np.asarray(gt_cls, int),
+    }
+
+
+def _edge_scene(rng, kind):
+    """Degenerate regimes: empty GT, empty detections, both empty."""
+    empty = {
+        "det_boxes": np.zeros((0, 4)),
+        "det_scores": np.zeros((0,)),
+        "det_cls": np.zeros((0,), int),
+        "gt_boxes": np.zeros((0, 4)),
+        "gt_cls": np.zeros((0,), int),
+    }
+    if kind == "both_empty":
+        return dict(empty)
+    if kind == "fp_only":
+        s = dict(empty)
+        n = rng.randint(1, 5)
+        boxes = []
+        for _ in range(n):
+            w, h = rng.uniform(30, 90, 2)
+            x1, y1 = rng.uniform(0, 500, 2)
+            boxes.append([x1, y1, x1 + w, y1 + h])
+        s["det_boxes"] = np.asarray(boxes)
+        s["det_scores"] = rng.uniform(0.05, 0.9, n)
+        s["det_cls"] = rng.randint(0, NC, n)
+        return s
+    # all-missed: GT but no detections
+    s = dict(empty)
+    n = rng.randint(1, 5)
+    boxes = []
+    for _ in range(n):
+        w, h = rng.uniform(40, 100, 2)
+        x1, y1 = rng.uniform(0, 500, 2)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+    s["gt_boxes"] = np.asarray(boxes)
+    s["gt_cls"] = rng.randint(0, NC, n)
+    return s
+
+
+def test_map_matches_oracle_large_differential_sweep():
+    """VERDICT r2 #6: ~500 randomized scenes across regimes (separated
+    grids, overlapping clusters, empty GT, empty detections) swept as 25
+    independent datasets. Asserts (a) per-dataset agreement within the
+    documented convention envelope and (b) NO systematic drift: the mean
+    signed difference across all datasets must be an order of magnitude
+    below the per-dataset tolerance — a real convention bug (pool
+    truncation, match dedup, class mixup) shifts every dataset the same
+    way and trips (b) even if each dataset squeaks under (a)."""
+    rng = np.random.RandomState(7)
+    diffs50, diffs5095 = [], []
+    for ds in range(25):
+        images = []
+        for _ in range(14):
+            images.append(_random_scene(rng, n_obj=rng.randint(1, 12)))
+        for _ in range(3):
+            images.append(_cluster_scene(rng))
+        images.append(_edge_scene(rng, "both_empty"))
+        images.append(_edge_scene(rng, "fp_only"))
+        images.append(_edge_scene(rng, "all_missed"))
+        ours, oracle = _both(images)
+        d50 = ours["metrics/mAP50(B)"] - oracle["mAP50"]
+        d95 = ours["metrics/mAP50-95(B)"] - oracle["mAP50-95"]
+        diffs50.append(d50)
+        diffs5095.append(d95)
+        assert abs(d50) < 0.03, (ds, ours["metrics/mAP50(B)"], oracle["mAP50"])
+        assert abs(d95) < 0.03, (
+            ds, ours["metrics/mAP50-95(B)"], oracle["mAP50-95"],
+        )
+    assert abs(float(np.mean(diffs50))) < 0.005, np.mean(diffs50)
+    assert abs(float(np.mean(diffs5095))) < 0.005, np.mean(diffs5095)
+
+
+def test_map_matches_pycocotools_if_available():
+    """Third-party cross-check (skipped when pycocotools is absent — this
+    machine has no network; the in-repo oracle covers the gap)."""
+    import pytest
+
+    pycoco = pytest.importorskip("pycocotools.cocoeval")
+    from pycocotools.coco import COCO
+
+    rng = np.random.RandomState(11)
+    images = [_random_scene(rng) for _ in range(8)]
+
+    gt = {"images": [], "annotations": [], "categories": [
+        {"id": c + 1, "name": str(c)} for c in range(NC)
+    ]}
+    dets = []
+    ann_id = 1
+    for i, im in enumerate(images):
+        gt["images"].append({"id": i + 1, "width": 640, "height": 640})
+        for b, c in zip(im["gt_boxes"], im["gt_cls"]):
+            w, h = b[2] - b[0], b[3] - b[1]
+            gt["annotations"].append({
+                "id": ann_id, "image_id": i + 1, "category_id": int(c) + 1,
+                "bbox": [float(b[0]), float(b[1]), float(w), float(h)],
+                "area": float(w * h), "iscrowd": 0,
+            })
+            ann_id += 1
+        for b, s, c in zip(im["det_boxes"], im["det_scores"], im["det_cls"]):
+            dets.append({
+                "image_id": i + 1, "category_id": int(c) + 1,
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "score": float(s),
+            })
+    coco_gt = COCO()
+    coco_gt.dataset = gt
+    coco_gt.createIndex()
+    coco_dt = coco_gt.loadRes(dets)
+    ev = pycoco.COCOeval(coco_gt, coco_dt, iouType="bbox")
+    ev.params.areaRng = [[0, 1e10]]
+    ev.params.areaRngLbl = ["all"]
+    ev.params.maxDets = [300]
+    ev.evaluate()
+    ev.accumulate()
+    precision = ev.eval["precision"]  # (T, R, K, A, M)
+    ap5095 = float(np.mean(precision[precision > -1]))
+    m = DetMetrics(NC)
+    for im in images:
+        m.update(im["det_boxes"], im["det_scores"], im["det_cls"],
+                 im["gt_boxes"], im["gt_cls"])
+    ours = m.compute()
+    assert abs(ours["metrics/mAP50-95(B)"] - ap5095) < 0.03
