@@ -92,9 +92,21 @@ class SpikingConvBlock(nn.Module):
         c = self.features
         groups = _num_groups(c)
         cg = c // groups
-        xf = x.astype(jnp.float32).reshape(t * b, -1, groups, cg)
-        mean = xf.mean(axis=(1, 3))  # (t*b, G)
-        mean2 = jnp.mean(jnp.square(xf), axis=(1, 3))
+        # Reduce over (H, W) FIRST, keeping channels on the minor (lane)
+        # axis — reshaping the activation to (.., G, C/G) before the big
+        # reduction puts an 8-wide dim on the lanes and ran at ~85-200 GB/s
+        # on the v5e (profiler: ~15 ms/step of convert_reduce fusions).
+        # The group fold then happens on the tiny (T*B, C) sums.
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=(1, 2)).reshape(t * b, groups, cg).sum(axis=2)
+        s2 = (
+            jnp.sum(jnp.square(xf), axis=(1, 2))
+            .reshape(t * b, groups, cg)
+            .sum(axis=2)
+        )
+        n = x.shape[1] * x.shape[2] * cg
+        mean = s1 / n  # (t*b, G)
+        mean2 = s2 / n
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         rstd = jax.lax.rsqrt(var + 1e-6)
         gamma = self.param("gn_scale", nn.initializers.ones, (c,), jnp.float32)

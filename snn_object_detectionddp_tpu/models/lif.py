@@ -130,18 +130,55 @@ def lif_scan(
 # Implementation dispatch: XLA scan vs fused Pallas kernel
 # ---------------------------------------------------------------------------
 
-_LIF_IMPL = "auto"  # "auto" | "pallas" | "xla"
+_LIF_IMPL = "auto"  # "auto" | "pallas" | "xla" | "unrolled"
 
 
 def set_lif_impl(impl: str) -> None:
     """Select the LIF execution path (config: runtime.lif_kernel).
 
-    "auto" uses the fused Pallas kernel on TPU and the XLA scan elsewhere.
+    "auto" uses the layout-preserving unrolled XLA path on TPU and the XLA
+    scan elsewhere. "pallas" forces the fused Pallas kernel (round-2 path;
+    kept selectable — it loses to "unrolled" because XLA custom calls force
+    default operand layouts, inserting 3-4 full-activation layout copies
+    per spiking layer around the conv's batch-minor layouts; measured
+    ~14 ms/step of pure copy ops in the profiler). "xla" is the lax.scan
+    reference path.
     """
     global _LIF_IMPL
-    if impl not in ("auto", "pallas", "xla"):
+    if impl not in ("auto", "pallas", "xla", "unrolled"):
         raise ValueError(f"unknown LIF impl '{impl}'")
     _LIF_IMPL = impl
+
+
+def affine_lif_unrolled(
+    x_t: jnp.ndarray,  # (T, B, H, W, C) raw conv outputs
+    a: jnp.ndarray,  # (T, B, C) scale
+    b: jnp.ndarray,  # (T, B, C) shift
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalize+LIF as straight-line unrolled elementwise ops.
+
+    TPU-layout rationale: XLA lays out conv activations batch-minor on the
+    lanes; any ``pallas_call``/custom-call boundary forces a conversion to
+    default layout and back (full-HBM copies). Unrolling the short time
+    loop (T<=8 after remat chunking) into pure elementwise ops lets XLA
+    fuse the GroupNorm affine and the whole membrane recurrence into
+    layout-agnostic loop fusions: the normalized current never
+    materializes, no while-loop carry constraints, zero copies.
+    """
+    if v0 is None:
+        v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
+    v = v0
+    spikes = []
+    for t in range(x_t.shape[0]):
+        cur = (
+            x_t[t].astype(jnp.float32) * a[t, :, None, None, :]
+            + b[t, :, None, None, :]
+        )
+        s, v = lif_step(v, cur, p)
+        spikes.append(s.astype(x_t.dtype))
+    return jnp.stack(spikes), v
 
 
 def run_lif(
@@ -181,7 +218,9 @@ def run_affine_lif(
         v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
     impl = _LIF_IMPL
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
+    if impl == "unrolled":
+        return affine_lif_unrolled(x_t, a, b, p, v0)
     if impl == "pallas" and supported(x_t.shape, x_t.dtype):
         return affine_lif_pallas(x_t, a, b, v0, p, False)
     return affine_lif_xla(x_t, a, b, v0, p)

@@ -189,3 +189,40 @@ def test_budget_overflow_routes_to_xla():
     bb = jnp.zeros((t, b, c), jnp.float32)
     s, v = run_affine_lif(x, a, bb, PARAMS[0])
     assert s.shape == x.shape and np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.parametrize("p", PARAMS)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_unrolled_matches_xla(p, shape):
+    """The layout-preserving unrolled path (models/lif.affine_lif_unrolled,
+    the TPU default since round 3) computes the identical recurrence."""
+    from snn_object_detectionddp_tpu.models.lif import affine_lif_unrolled
+
+    x, a, b, v0 = _inputs(shape, jnp.bfloat16)
+    s_ref, v_ref = affine_lif_xla(x, a, b, v0, p)
+    s_u, v_u = affine_lif_unrolled(x, a, b, p, v0)
+    assert s_u.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(s_u), np.asarray(s_ref))
+    np.testing.assert_allclose(np.asarray(v_u), np.asarray(v_ref), atol=1e-5)
+
+
+def test_unrolled_backward_matches_xla():
+    from snn_object_detectionddp_tpu.models.lif import affine_lif_unrolled
+
+    p = PARAMS[0]
+    shape = (3, 2, 10, 4, 32)
+    x, a, b, v0 = _inputs(shape, jnp.float32, seed=2)
+
+    def loss(f):
+        def L(x, a, b, v0):
+            s, v = f(x, a, b, v0)
+            return jnp.sum(s * 0.7) + jnp.sum(v * 1.3)
+
+        return jax.grad(L, argnums=(0, 1, 2, 3))(x, a, b, v0)
+
+    g_ref = loss(lambda x, a, b, v0: affine_lif_xla(x, a, b, v0, p))
+    g_u = loss(lambda x, a, b, v0: affine_lif_unrolled(x, a, b, p, v0))
+    for name, gr, gu in zip(("dx", "da", "db", "dv0"), g_ref, g_u):
+        np.testing.assert_allclose(
+            np.asarray(gu), np.asarray(gr), atol=2e-5, err_msg=name
+        )
