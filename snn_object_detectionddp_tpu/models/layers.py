@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .lif import LIFParams, run_affine_lif
+from .lif import LIFParams, run_affine_lif_tb
 
 
 def _num_groups(channels: int) -> int:
@@ -115,8 +115,11 @@ class SpikingConvBlock(nn.Module):
         rstd_c = jnp.repeat(rstd, cg, axis=1).reshape(t, b, c)
         a = rstd_c * gamma
         bias = beta - mean_c * rstd_c * gamma
-        x5 = x.reshape((t, b) + x.shape[1:])
-        spikes, v_final = run_affine_lif(x5, a, bias, self.lif, v0)
+        # Stay in the conv's 4D (T*B, H, W, C) shape through the LIF stage:
+        # the 5D round-trip broke the conv's batch-minor layout and cost a
+        # relayout copy on each side at stem geometries (run_affine_lif_tb).
+        spikes4, v_final = run_affine_lif_tb(x, a, bias, self.lif, v0)
+        spikes = spikes4.reshape((t, b) + spikes4.shape[1:])
         # SNN observability: mean firing rate, materialized only when the
         # caller requests the 'intermediates' collection (XLA drops it
         # otherwise). See Detector.spike_rates.

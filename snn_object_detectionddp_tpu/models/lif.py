@@ -181,6 +181,40 @@ def affine_lif_unrolled(
     return jnp.stack(spikes), v
 
 
+def affine_lif_unrolled_tb(
+    x4: jnp.ndarray,  # (T*B, H, W, C) raw conv outputs, time-major
+    a: jnp.ndarray,  # (T, B, C) scale
+    b: jnp.ndarray,  # (T, B, C) shift
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,  # (B, H, W, C)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """4D variant of :func:`affine_lif_unrolled` that never leaves the
+    conv's (T*B, H, W, C) shape.
+
+    The 5D (T, B, ...) round-trip between each conv and its LIF stage is
+    not free on TPU: the conv output's batch-minor layout does not survive
+    the dim-split reshape, so XLA inserts full-activation relayout copies
+    (measured ~5 ms/step at the stem geometries). Slicing batch slabs out
+    of the 4D tensor and concatenating the spike slabs back keeps one
+    layout end-to-end — the slices and the concat fuse into the
+    elementwise LIF fusions.
+    """
+    t_steps, bsz = a.shape[0], a.shape[1]
+    if v0 is None:
+        v0 = jnp.zeros((bsz,) + x4.shape[1:], dtype=jnp.float32)
+    v = v0
+    spikes = []
+    for t in range(t_steps):
+        xt = jax.lax.slice_in_dim(x4, t * bsz, (t + 1) * bsz, axis=0)
+        cur = (
+            xt.astype(jnp.float32) * a[t, :, None, None, :]
+            + b[t, :, None, None, :]
+        )
+        s, v = lif_step(v, cur, p)
+        spikes.append(s.astype(x4.dtype))
+    return jnp.concatenate(spikes, axis=0), v
+
+
 def run_lif(
     x_t: jnp.ndarray, p: LIFParams, v0: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -195,6 +229,31 @@ def run_lif(
             v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
         return lif_scan_pallas(x_t, v0, p, False)
     return lif_scan(x_t, p, v0)
+
+
+def run_affine_lif_tb(
+    x4: jnp.ndarray,  # (T*B, H, W, C) raw conv outputs, time-major
+    a: jnp.ndarray,  # (T, B, C) scale
+    b: jnp.ndarray,  # (T, B, C) shift
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Layout-preserving dispatch on the conv's native 4D activation.
+
+    Returns (spikes (T*B, H, W, C), v_final (B, H, W, C)). On the unrolled
+    TPU path the 5D (T, B, ...) view never exists, so the conv's
+    batch-minor layout flows straight through the LIF fusions (see
+    affine_lif_unrolled_tb). Other impls reshape to the 5D contract.
+    """
+    impl = _LIF_IMPL
+    if impl == "auto":
+        impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
+    if impl == "unrolled":
+        return affine_lif_unrolled_tb(x4, a, b, p, v0)
+    t_steps, bsz = a.shape[0], a.shape[1]
+    x5 = x4.reshape((t_steps, bsz) + x4.shape[1:])
+    spikes, v_fin = run_affine_lif(x5, a, b, p, v0)
+    return spikes.reshape(x4.shape), v_fin
 
 
 def run_affine_lif(

@@ -226,3 +226,24 @@ def test_unrolled_backward_matches_xla():
         np.testing.assert_allclose(
             np.asarray(gu), np.asarray(gr), atol=2e-5, err_msg=name
         )
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_unrolled_tb_matches_5d(shape):
+    """The 4D layout-preserving variant equals the 5D unrolled path."""
+    from snn_object_detectionddp_tpu.models.lif import (
+        affine_lif_unrolled,
+        affine_lif_unrolled_tb,
+    )
+
+    p = PARAMS[0]
+    x, a, b, v0 = _inputs(shape, jnp.bfloat16, seed=3)
+    t, bsz = shape[:2]
+    s5, v5 = affine_lif_unrolled(x, a, b, p, v0)
+    s4, v4 = affine_lif_unrolled_tb(
+        x.reshape((t * bsz,) + shape[2:]), a, b, p, v0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s4), np.asarray(s5.reshape(s4.shape))
+    )
+    np.testing.assert_allclose(np.asarray(v4), np.asarray(v5), atol=1e-6)
