@@ -27,7 +27,20 @@ _MATRIX_PATH_MAX_K = 4096
 
 
 def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
-    """Suppression over a precomputed IoU matrix — fastest for small pools."""
+    """Suppression over a precomputed IoU matrix — fastest for small pools.
+
+    The defining recurrence (candidates sorted by descending score) is
+    ``keep[i] = valid[i] and no j < i with keep[j] and iou[j, i] > thr``,
+    whose unique solution is the classic sequential NMS. A k-step
+    ``fori_loop`` computes it directly but is latency-bound on TPU (~1.5 us
+    per tiny sequential step; ~0.6 ms at k=400 in the streaming path).
+    Instead we iterate the whole-vector map ``keep <- valid & ~any_j<i
+    (keep[j] & iou[j,i] > thr)`` to its fixed point: position i's value
+    depends only on positions j < i of the previous sweep, so after n
+    sweeps positions 0..n-1 are final — the iteration provably reaches the
+    exact solution in (suppression-chain depth + 1) sweeps, 2-4 in
+    practice, each sweep one (k, k) masked reduction on the VPU.
+    """
     k = top_scores.shape[0]
     offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * _CLS_OFFSET)[
         :, None
@@ -35,14 +48,20 @@ def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
     iou = pairwise_iou(offset_boxes, offset_boxes)  # (k, k)
 
     order = jnp.arange(k)
+    # sup[j, i]: candidate j (higher-scoring, valid) overlaps candidate i.
+    sup = (iou > iou_thres) & (order[:, None] < order[None, :])
+    sup = sup & top_valid[:, None]
 
-    def body(i, keep):
-        row_active = keep[i] & top_valid[i]
-        suppress = row_active & (iou[i] > iou_thres) & (order > i)
-        return keep & ~suppress
+    def cond(carry):
+        changed, _ = carry
+        return changed
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))
-    keep = keep & top_valid
+    def body(carry):
+        _, keep = carry
+        new = top_valid & ~jnp.any(sup & keep[:, None], axis=0)
+        return jnp.any(new != keep), new
+
+    _, keep = jax.lax.while_loop(cond, body, (jnp.bool_(True), top_valid))
 
     scores = jnp.where(keep, top_scores, 0.0)
     classes = jnp.where(keep, top_cls, -1)

@@ -122,3 +122,23 @@ def test_eval_pool_size_invariance():
     np.testing.assert_allclose(
         np.asarray(out_a["scores"])[:n], np.asarray(out_b["scores"])[:n], atol=1e-6
     )
+
+
+def test_deep_suppression_chain_exact():
+    """A chain of boxes each overlapping only its neighbor: exact NMS keeps
+    every EVEN-indexed box (odd ones are suppressed by a kept neighbor, so
+    they cannot suppress onward). A one-sweep "fast NMS" approximation
+    would instead drop every box but the first — this pins the matrix
+    path's fixpoint sweep (ops/nms.py::_nms_matrix) to the exact
+    sequential semantics at chain depth >> 1.
+    """
+    n = 21
+    # Box i spans [6i, 6i+10): IoU(i, i+1) = 4/16 = 0.25 > 0.2; IoU(i, i+2)=0.
+    boxes = jnp.array([[6.0 * i, 0.0, 6.0 * i + 10.0, 10.0] for i in range(n)])
+    scores = jnp.array([[0.9 - 0.01 * i] for i in range(n)])  # descending
+    out = non_max_suppression(
+        boxes, scores, conf_thres=0.05, iou_thres=0.2, max_det=n
+    )
+    valid = np.asarray(out["valid"])
+    kept_x1 = sorted(np.asarray(out["boxes"])[valid][:, 0].tolist())
+    assert kept_x1 == [6.0 * i for i in range(0, n, 2)]
