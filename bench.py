@@ -28,6 +28,7 @@ from pathlib import Path
 CACHE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 T = 4
 IMG_H, IMG_W = 480, 640
+_V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (BASELINE.md MFU basis)
 
 
 def _build(batch: int):
@@ -122,6 +123,20 @@ def measure(batch: int, iters: int) -> dict:
 
     train_s = _timeit(step, lambda m: float(jax.device_get(m["loss"])), iters)
 
+    # MFU vs the v5e bf16 peak, from XLA's own cost model for the compiled
+    # forward (same method as utils.profiling.flops_of / BASELINE.md).
+    mfu = None
+    if jax.default_backend() == "tpu":
+        try:
+            cost = infer.lower(params, images).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops:
+                mfu = (flops / infer_s) / _V5E_BF16_PEAK_FLOPS
+        except Exception:
+            pass
+
     frames = batch * T
     return {
         "backend": jax.default_backend(),
@@ -130,6 +145,7 @@ def measure(batch: int, iters: int) -> dict:
         "train_fps": frames / train_s,
         "inference_ms": infer_s * 1e3,
         "train_step_ms": train_s * 1e3,
+        "mfu": mfu,
     }
 
 
@@ -563,6 +579,8 @@ if __name__ == "__main__":
         "batch": res["batch"],
         "backend": res["backend"],
     }
+    if res.get("mfu") is not None:
+        report["mfu"] = round(res["mfu"], 4)
     if pipeline_fps is not None:
         report["eval_pipeline_fps"] = round(pipeline_fps, 2)
     if args.streaming:

@@ -43,7 +43,17 @@ def make_sequence(
     num_classes: int = 3,
     seed: int = 0,
     frame_dt_us: int = 50_000,
+    obj_size: tuple[int, int] | None = None,
 ) -> None:
+    """``obj_size``: (min, max) object side length in pixels. Defaults to
+    ~10-22% of the short image side — DSEC-like vehicle scale at any
+    resolution. Fixed tiny sizes at high resolution starve the TAL
+    assigner's bootstrap: its alignment metric is score^0.5 * CIoU^6
+    (ultralytics semantics, losses/tal.py), and against the DFL head's
+    ~15x15-grid-unit initial boxes a 20 px ground truth has CIoU ~0.03,
+    so 0.03^6 underflows the assigner's 1e-9 eps and box/dfl loss is
+    exactly zero forever (observed; the reference would behave the same).
+    """
     rng = np.random.RandomState(seed)
     img_dir = seq_dir / "images/left/distorted"
     img_dir.mkdir(parents=True, exist_ok=True)
@@ -53,10 +63,18 @@ def make_sequence(
     t0 = 1_000_000
     timestamps = t0 + np.arange(num_frames, dtype=np.int64) * frame_dt_us
 
+    if obj_size is None:
+        short = min(height, width)
+        obj_size = (max(8, int(0.10 * short)), max(12, int(0.22 * short)))
+
     # Object trajectories: constant-velocity rectangles.
-    obj_xy = rng.uniform([8, 8], [width - 40, height - 40], size=(num_objects, 2))
+    margin = obj_size[1] + 12
+    obj_xy = rng.uniform(
+        [8, 8], [max(9, width - margin), max(9, height - margin)],
+        size=(num_objects, 2),
+    )
     obj_v = rng.uniform(-3, 3, size=(num_objects, 2))
-    obj_wh = rng.uniform(12, 28, size=(num_objects, 2))
+    obj_wh = rng.uniform(obj_size[0], obj_size[1], size=(num_objects, 2))
     obj_cls = rng.randint(0, num_classes, size=num_objects)
 
     records = []

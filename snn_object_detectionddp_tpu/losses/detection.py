@@ -31,6 +31,14 @@ class LossComponents(NamedTuple):
     box: jnp.ndarray
     cls: jnp.ndarray
     dfl: jnp.ndarray
+    # Foreground anchors assigned by TAL this batch. Pure observability —
+    # a sustained 0 means the assigner's bootstrap starved (e.g. every GT
+    # box tiny vs the DFL head's initial boxes, so CIoU^6 underflows its
+    # eps) and box/dfl losses are silently zero; surfacing the count makes
+    # that failure mode visible in TensorBoard instead of a mystery
+    # mAP=0 run. Python float 0.0 default keeps construction free of
+    # device work at import.
+    fg: jnp.ndarray | float = 0.0
 
     @property
     def vec3(self) -> jnp.ndarray:
@@ -131,6 +139,10 @@ def detection_loss(
     assign = jax.tree.map(jax.lax.stop_gradient, assign)
 
     target_scores_sum = jnp.sum(assign.target_scores)
+    fg_count = assign.fg_mask.astype(jnp.float32)
+    if row_w is not None:  # padding rows carry no real assignments
+        fg_count = fg_count * row_w[..., 0]
+    fg_count = jnp.sum(fg_count)
 
     # --- Classification: BCE-with-logits against soft targets -------------
     bce = optax_sigmoid_bce(cls_logits, assign.target_scores)
@@ -154,8 +166,9 @@ def detection_loss(
     # Normalize by GLOBAL sums: under data-parallel shard_map the divisions
     # happen after a cross-replica psum, reproducing the single-device math.
     if cross_replica_axis is not None:
-        target_scores_sum, sum_cls, sum_box, sum_dfl = jax.lax.psum(
-            (target_scores_sum, sum_cls, sum_box, sum_dfl), cross_replica_axis
+        target_scores_sum, sum_cls, sum_box, sum_dfl, fg_count = jax.lax.psum(
+            (target_scores_sum, sum_cls, sum_box, sum_dfl, fg_count),
+            cross_replica_axis,
         )
     target_scores_sum = jnp.maximum(target_scores_sum, 1.0)
     loss_cls = sum_cls / target_scores_sum
@@ -166,7 +179,7 @@ def detection_loss(
     cls = loss_cls * gain_cls
     dfl_c = loss_dfl * gain_dfl
     total = (box + cls + dfl_c) * batch
-    return LossComponents(total=total, box=box, cls=cls, dfl=dfl_c)
+    return LossComponents(total=total, box=box, cls=cls, dfl=dfl_c, fg=fg_count)
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

@@ -69,7 +69,7 @@ def _loss_components_zero():
     from ..losses.detection import LossComponents
 
     z = jnp.zeros((), jnp.float32)
-    return LossComponents(total=z, box=z, cls=z, dfl=z)
+    return LossComponents(total=z, box=z, cls=z, dfl=z, fg=z)
 
 
 class TrainStepFns(NamedTuple):
@@ -263,6 +263,7 @@ def make_step_fns(
             "box": lc.box,
             "cls": lc.cls,
             "dfl": lc.dfl,
+            "fg": lc.fg,
             "lr": lr,
             "grad_norm": optax.global_norm(grads),
         }
@@ -278,7 +279,13 @@ def make_step_fns(
             sample_mask=batch.get("sample_mask"),
             cross_replica_axis=axis,
         )
-        return {"loss": lc.total, "box": lc.box, "cls": lc.cls, "dfl": lc.dfl}
+        return {
+            "loss": lc.total,
+            "box": lc.box,
+            "cls": lc.cls,
+            "dfl": lc.dfl,
+            "fg": lc.fg,
+        }
 
     def _forward(params, frames, rec_state=None):
         return detector.module.apply({"params": params}, frames, rec_state)

@@ -82,6 +82,10 @@ class MetricsLogger:
             global_step,
         )
         self.writer.add_scalar("LearningRate/batch", metrics["lr"], global_step)
+        if "fg" in metrics:  # TAL foreground-anchor count (observability)
+            self.writer.add_scalar(
+                "Assign/fg_anchors_batch", metrics["fg"], global_step
+            )
 
     def val_batch(self, metrics: dict, global_step: int) -> None:
         self.writer.add_scalar("Loss/val_batch", metrics["loss"], global_step)
