@@ -89,6 +89,16 @@ def model_flops(predict_fn, example_args) -> float:
 FARNEBACK_FLOPS_PER_PIXEL = 600.0
 
 
+def _crop_hw(h_img: int, w_img: int) -> tuple[int, int]:
+    """Fixed crop-window size for the cropped_model method: half the frame,
+    rounded up to 32-alignment, clamped to the frame. One definition shared
+    by the detection loop and the FLOPs probe so the probed program is
+    always the executed geometry."""
+    ch = min(h_img, -(-(h_img // 2) // 32) * 32)
+    cw = min(w_img, -(-(w_img // 2) // 32) * 32)
+    return ch, cw
+
+
 def default_adaptive_stride(
     prev_iou: float,
     curr_iou: float,
@@ -202,8 +212,7 @@ def process_sequence(
             # (half the frame, 32-aligned) centered on the union of the
             # current track boxes, so the cropped program compiles once.
             h_img, w_img = frame.shape[:2]
-            ch = min(h_img, -(-(h_img // 2) // 32) * 32)
-            cw = min(w_img, -(-(w_img // 2) // 32) * 32)
+            ch, cw = _crop_hw(h_img, w_img)
             ux = (boxes[:, 0].min() + boxes[:, 2].max()) / 2
             uy = (boxes[:, 1].min() + boxes[:, 3].max()) / 2
             cx = int(np.clip(ux - cw / 2, 0, w_img - cw))
@@ -281,8 +290,7 @@ def process_sequence(
             (params, np.zeros((1, h_img, w_img, 3), np.uint8), rec_state),
         )
         if crop_det_count:
-            ch = min(h_img, -(-(h_img // 2) // 32) * 32)
-            cw = min(w_img, -(-(w_img // 2) // 32) * 32)
+            ch, cw = _crop_hw(h_img, w_img)
             m_flops_crop = model_flops(
                 predict_crop, (params, np.zeros((1, ch, cw, 3), np.uint8))
             )

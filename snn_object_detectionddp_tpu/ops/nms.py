@@ -25,6 +25,12 @@ _CLS_OFFSET = 7680.0
 # O(max_det * k) path (memory O(k) instead of O(k^2)).
 _MATRIX_PATH_MAX_K = 4096
 
+# Within the matrix path, pools up to this size use the fixed-point sweep
+# (2-4 whole-matrix passes in practice, but worst-case chain depth ~ k
+# passes = O(k^3)); larger pools keep the k-step sequential sweep whose
+# total work is a bounded O(k^2).
+_FIXPOINT_MAX_K = 1024
+
 
 def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
     """Suppression over a precomputed IoU matrix — fastest for small pools.
@@ -40,6 +46,11 @@ def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
     sweeps positions 0..n-1 are final — the iteration provably reaches the
     exact solution in (suppression-chain depth + 1) sweeps, 2-4 in
     practice, each sweep one (k, k) masked reduction on the VPU.
+
+    Worst case, though, chain depth is ~k (one sweep per chain level —
+    adversarially O(k^3) total work), so pools above ``_FIXPOINT_MAX_K``
+    keep the k-step sequential sweep whose total work is a bounded O(k^2);
+    at those sizes the per-step launch latency is amortized anyway.
     """
     k = top_scores.shape[0]
     offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * _CLS_OFFSET)[
@@ -48,20 +59,31 @@ def _nms_matrix(top_boxes, top_scores, top_cls, top_valid, iou_thres, max_det):
     iou = pairwise_iou(offset_boxes, offset_boxes)  # (k, k)
 
     order = jnp.arange(k)
-    # sup[j, i]: candidate j (higher-scoring, valid) overlaps candidate i.
-    sup = (iou > iou_thres) & (order[:, None] < order[None, :])
-    sup = sup & top_valid[:, None]
 
-    def cond(carry):
-        changed, _ = carry
-        return changed
+    if k <= _FIXPOINT_MAX_K:
+        # sup[j, i]: candidate j (higher-scoring, valid) overlaps i.
+        sup = (iou > iou_thres) & (order[:, None] < order[None, :])
+        sup = sup & top_valid[:, None]
 
-    def body(carry):
-        _, keep = carry
-        new = top_valid & ~jnp.any(sup & keep[:, None], axis=0)
-        return jnp.any(new != keep), new
+        def cond(carry):
+            changed, _ = carry
+            return changed
 
-    _, keep = jax.lax.while_loop(cond, body, (jnp.bool_(True), top_valid))
+        def body(carry):
+            _, keep = carry
+            new = top_valid & ~jnp.any(sup & keep[:, None], axis=0)
+            return jnp.any(new != keep), new
+
+        _, keep = jax.lax.while_loop(cond, body, (jnp.bool_(True), top_valid))
+    else:
+
+        def step(i, keep):
+            row_active = keep[i] & top_valid[i]
+            suppress = row_active & (iou[i] > iou_thres) & (order > i)
+            return keep & ~suppress
+
+        keep = jax.lax.fori_loop(0, k, step, jnp.ones((k,), dtype=bool))
+        keep = keep & top_valid
 
     scores = jnp.where(keep, top_scores, 0.0)
     classes = jnp.where(keep, top_cls, -1)

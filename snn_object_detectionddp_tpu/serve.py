@@ -122,6 +122,8 @@ class DetectionService:
         )
         self._states: dict[str, Any] = {}
         self._lru: list[str] = []
+        # Per-stream cap on worker-local deferrals (see _next_jobs).
+        self._max_deferred_per_stream = 8
         # Per-stream generation counter: bumped by every state drop
         # (/reset or LRU eviction). The worker snapshots the generation
         # with the state and only commits the post-predict state if it is
@@ -255,7 +257,24 @@ class DetectionService:
                 self._q.put(None)  # re-post: stop after this batch
                 break
             if nxt.stream in streams:
-                self._deferred.append(nxt)
+                # Backpressure: _deferred sits OUTSIDE the bounded request
+                # queue, so without a cap a client pipelining one stream
+                # faster than its serial chain drains would grow it (and
+                # its ~1 MB pinned frames) without bound. Beyond a couple
+                # of rounds' worth per stream, fail fast instead.
+                if (
+                    sum(1 for d in self._deferred if d.stream == nxt.stream)
+                    >= self._max_deferred_per_stream
+                ):
+                    nxt.reply.put(
+                        RuntimeError(
+                            f"stream '{nxt.stream}' overloaded: requests "
+                            "chain serially through its recurrent state; "
+                            "slow down or use distinct streams"
+                        )
+                    )
+                else:
+                    self._deferred.append(nxt)
             else:
                 jobs.append(nxt)
                 streams.add(nxt.stream)
@@ -286,6 +305,20 @@ class DetectionService:
                 n = len(jobs)
                 k = next(s for s in self.batch_sizes if s >= n)
                 with self._state_lock:
+                    # Prune generation counters of dead streams (reset/LRU
+                    # eviction leaves them behind; unbounded over a long
+                    # service life). Safe here: the worker is serial, so
+                    # between batches nothing is in flight, and counters
+                    # for this batch's streams are kept. A pruned stream
+                    # restarting at gen 0 is fine — any value mismatch
+                    # still discards stale commits.
+                    keep = {j.stream for j in jobs}
+                    for s in [
+                        s
+                        for s in self._gen
+                        if s not in self._states and s not in keep
+                    ]:
+                        del self._gen[s]
                     entries = [
                         (self._states.get(j.stream), self._gen.get(j.stream, 0))
                         for j in jobs

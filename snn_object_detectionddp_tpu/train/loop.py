@@ -85,7 +85,9 @@ def train_loop(
     save_dir.mkdir(parents=True, exist_ok=True)
     # Multi-host: metrics/state are replicated, so rank 0 owns all event
     # and checkpoint writes (other ranks would produce duplicate files).
-    is_main = jax.process_index() == 0
+    from ..parallel.mesh import is_main_process
+
+    is_main = is_main_process()
     if is_main:
         writer = make_writer(save_dir)
     else:
@@ -134,10 +136,13 @@ def train_loop(
             best_val_loss = val_loss
             # Exact best state, snapshotted on device (cheap copy); written
             # out on the next scheduled write — so best.pt fidelity does not
-            # depend on the write cadence.
-            import jax.numpy as jnp
+            # depend on the write cadence. Rank 0 only: other ranks never
+            # write best.pt, so snapshotting there would just pin a full
+            # extra state copy in HBM for the whole run.
+            if is_main:
+                import jax.numpy as jnp
 
-            best_snap = (jax.tree.map(jnp.copy, state), epoch)
+                best_snap = (jax.tree.map(jnp.copy, state), epoch)
             print(f"New best model (epoch {epoch + 1}), val loss {best_val_loss:.4f}")
 
         # Checkpoint writes every `save_every_epochs` (reference semantics =

@@ -142,3 +142,35 @@ def test_deep_suppression_chain_exact():
     valid = np.asarray(out["valid"])
     kept_x1 = sorted(np.asarray(out["boxes"])[valid][:, 0].tolist())
     assert kept_x1 == [6.0 * i for i in range(0, n, 2)]
+
+
+def test_large_pool_fori_path_matches_greedy():
+    """Pools in (_FIXPOINT_MAX_K, _MATRIX_PATH_MAX_K] take the bounded
+    sequential sweep inside the matrix path; same results as the O(k)
+    greedy path at an eval-style pool."""
+    rng = np.random.RandomState(7)
+    n = 3000
+    xy = rng.uniform(0, 600, size=(n, 2))
+    wh = rng.uniform(10, 60, size=(n, 2))
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    )
+    scores = jnp.asarray(rng.uniform(0.01, 1.0, size=(n, 2)).astype(np.float32))
+    a = non_max_suppression(
+        boxes, scores, conf_thres=0.05, iou_thres=0.5, max_det=100,
+        pre_nms_topk=2048,
+    )
+    b = non_max_suppression(
+        boxes, scores, conf_thres=0.05, iou_thres=0.5, max_det=100,
+        pre_nms_topk=8192,  # > _MATRIX_PATH_MAX_K -> greedy path
+    )
+    # The 2048 pool must contain every survivor of the 8192 pool here
+    # (scores above conf are dense, well over max_det survivors exist).
+    va, vb = np.asarray(a["valid"]), np.asarray(b["valid"])
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_allclose(
+        np.asarray(a["scores"])[va], np.asarray(b["scores"])[vb], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["boxes"])[va], np.asarray(b["boxes"])[vb], atol=1e-5
+    )
