@@ -75,6 +75,40 @@ def maybe_init_distributed(cfg) -> None:
         f"jax.distributed initialized: process {jax.process_index()}/"
         f"{jax.process_count()} via {coord}"
     )
+    collective_barrier()
+
+
+def collective_barrier() -> None:
+    """One tiny all-reduce over every device, run right after distributed
+    init. Two jobs: (a) fail fast at startup if the cross-host fabric is
+    broken, instead of minutes later inside the first train step; (b) align
+    collective-context creation across processes. The CPU gloo backend in
+    particular builds its context lazily inside the FIRST executed
+    collective with a hard 30 s rendezvous deadline — if one process
+    reaches that collective while a peer is still compiling its
+    (minutes-long under load) train step, context init dies with
+    ``Gloo context initialization failed: DEADLINE_EXCEEDED`` (observed in
+    tests/test_multiprocess.py on a loaded 1-core host). Paying the
+    rendezvous here — both sides compile this trivial program in well under
+    the deadline — removes the skew."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    f = jax.jit(
+        jax.shard_map(
+            lambda x: jax.lax.psum(x, DATA_AXIS),
+            mesh=mesh,
+            in_specs=P(DATA_AXIS),
+            out_specs=P(),
+        )
+    )
+    n = len(jax.devices())
+    total = int(jax.device_get(f(jnp.ones((n,), jnp.float32)))[0])
+    if total != n:
+        raise RuntimeError(
+            f"collective barrier mismatch: psum over {n} devices returned "
+            f"{total} — broken fabric or inconsistent mesh"
+        )
 
 
 def is_main_process() -> bool:
