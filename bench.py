@@ -31,6 +31,38 @@ IMG_H, IMG_W = 480, 640
 _V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (BASELINE.md MFU basis)
 
 
+def _require_backend(timeout_s: float = 60.0) -> None:
+    """Fail fast if backend init hangs. A remote-TPU plugin whose tunnel is
+    down blocks jax.devices() forever (observed on this machine's 'axon'
+    link); an unattended bench must emit a diagnosable JSON line instead of
+    hanging the harness."""
+    import threading
+
+    import jax
+
+    probe: list = []
+    t = threading.Thread(
+        target=lambda: probe.append(jax.default_backend()), daemon=True
+    )
+    t.start()
+    t.join(timeout=timeout_s)
+    if not probe:
+        print(
+            json.dumps(
+                {
+                    "metric": "frames/sec/chip @ T=4 (SNN detector forward, "
+                    "480x640, bf16)",
+                    "value": 0,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": f"backend init did not complete in {timeout_s}s "
+                    "(TPU tunnel down?)",
+                }
+            )
+        )
+        sys.exit(1)
+
+
 def _build(batch: int):
     import jax
     import numpy as np
@@ -549,6 +581,7 @@ if __name__ == "__main__":
     from snn_object_detectionddp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _require_backend()
     # batch 32 is the measured single-chip throughput sweet spot
     # (16: 1637 f/s, 32: 1708 f/s, 48: 1658 f/s — docs/BENCH_NOTES_r2.json).
     if args.profile:
