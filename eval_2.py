@@ -44,7 +44,15 @@ def evaluate(cfg, weights: str | None = None) -> dict:
         params = detector.init_params(jax.random.PRNGKey(0))
         print(f"WARNING: no checkpoint at {weights_path}; evaluating fresh init.")
 
-    return evaluate_model(cfg, detector, params)
+    # Multi-chip eval: shard val batches over the configured mesh (batch
+    # over `data`; image height over `spatial` on a 2-D mesh). Single
+    # device keeps the plain single-device jit.
+    mesh = None
+    if jax.device_count() > 1 or cfg.mesh.spatial > 1:
+        from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
+    return evaluate_model(cfg, detector, params, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ from snn_object_detectionddp_tpu.data.dsec import (
 from snn_object_detectionddp_tpu.data.pipeline import BatchLoader
 from snn_object_detectionddp_tpu.models.detector import Detector
 from snn_object_detectionddp_tpu.parallel.mesh import (
+    data_axis_size,
     host_shard_indices,
     local_batch_size,
     make_mesh,
@@ -54,11 +55,13 @@ def train_code(cfg, detector: Detector) -> None:
     train_idx, val_idx = train_val_split(index, seed=cfg.training.seed)
     train_idx, val_idx = apply_train_debug(train_idx, val_idx, cfg.debug_train)
 
-    mesh = make_mesh(cfg.mesh.data)
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
     # Multi-host: each process feeds its own shard of the sample list.
     train_idx = host_shard_indices(train_idx)
     val_idx = host_shard_indices(val_idx)
-    n_dev = mesh.devices.size
+    # The batch axis tiles over the data axis only (image height tiles
+    # over a spatial axis, if any — parallel/mesh.py::batch_specs).
+    n_dev = data_axis_size(mesh)
     bs = cfg.training.batch_size
     if bs % n_dev:
         bs = -(-bs // n_dev) * n_dev

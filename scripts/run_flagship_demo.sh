@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Flagship-geometry on-chip training demo launcher (BASELINE configs #2/#3).
+#
+# The TPU is reached through a tunnel relay (127.0.0.1:8082) that can die
+# host-side; when it is down ANY jax backend init hangs forever. This
+# launcher polls the relay, launches training only once it is up, and
+# relaunches on abnormal exit (training.resume_training=true makes
+# restarts idempotent). Logs append to runs/flagship_demo/train.log.
+set -u
+cd "$(dirname "$0")/.."
+LOG=runs/flagship_demo/train.log
+mkdir -p runs/flagship_demo
+
+relay_up() { timeout 2 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null; }
+
+echo "[launcher $(date -u +%FT%TZ)] waiting for TPU relay" | tee -a "$LOG"
+ATTEMPTS=0
+while true; do
+  until relay_up; do sleep 60; done
+  echo "[launcher $(date -u +%FT%TZ)] relay up, starting training (attempt $((++ATTEMPTS)))" | tee -a "$LOG"
+  PYTHONPATH=/root/.axon_site:/root/repo timeout 21600 \
+    python main.py --config scripts/flagship_demo.yaml >>"$LOG" 2>&1
+  rc=$?
+  echo "[launcher $(date -u +%FT%TZ)] training exited rc=$rc" | tee -a "$LOG"
+  [ "$rc" -eq 0 ] && break
+  [ "$ATTEMPTS" -ge 5 ] && { echo "[launcher] giving up after 5 attempts" | tee -a "$LOG"; break; }
+  sleep 30
+done

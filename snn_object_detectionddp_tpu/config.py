@@ -123,6 +123,11 @@ class MeshConfig:
     ``device: "cuda:3"`` string, config.yaml:13)."""
 
     data: int = -1  # data-parallel axis size; -1 = all visible devices
+    # Spatial parallelism (GSPMD): partition activation image-height over
+    # this many devices per replica. The model must run a pure-XLA LIF path
+    # (runtime.lif_kernel auto/unrolled/xla) — the SPMD partitioner cannot
+    # split a Pallas custom call. mesh = data x spatial devices.
+    spatial: int = 1
     # --- multi-host (DCN) launch keys; None = single host. Env-var
     # fallbacks COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID let one
     # shared config.yaml drive every host of a pod slice
@@ -226,6 +231,9 @@ def _validate(obj) -> None:
     elif isinstance(obj, SpikeConfig):
         if obj.reset not in ("soft", "hard"):
             raise ValueError("model.spike.reset must be 'soft' or 'hard'")
+    elif isinstance(obj, MeshConfig):
+        if obj.spatial < 1:
+            raise ValueError("mesh.spatial must be >= 1")
     elif isinstance(obj, RuntimeConfig):
         if obj.precision not in ("bf16", "f32"):
             raise ValueError("runtime.precision must be 'bf16' or 'f32'")
@@ -235,8 +243,32 @@ def _validate(obj) -> None:
             )
 
 
+def apply_device(cfg: Config) -> None:
+    """Honor ``device: "cpu"`` by forcing the JAX platform.
+
+    The reference selects its device with a config string (``device:
+    "cuda:3"``, config.yaml:13); here accelerator strings map to "all
+    visible chips form the mesh" and need no action, but ``"cpu"`` must
+    force the platform BEFORE the first backend touch — the tunneled TPU
+    plugin ignores the JAX_PLATFORMS env var, and when its relay is down
+    any accidental TPU backend init hangs forever. No-op once a backend
+    is already initialized (jax raises; we leave the existing platform)."""
+    if str(cfg.device).lower() != "cpu":
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized; too late to switch
+
+
 def load_config(path: str | Path = "config.yaml") -> Config:
-    """Load and validate a YAML config (reference: main.py:120-121)."""
+    """Load and validate a YAML config (reference: main.py:120-121).
+
+    Side effect: ``device: "cpu"`` forces the JAX platform to CPU (see
+    :func:`apply_device`) — every CLI entry point loads its config before
+    touching a backend, so this is the one reliable hook."""
     with open(path, "r") as f:
         raw = yaml.safe_load(f)
     cfg = Config.from_dict(raw)
@@ -245,4 +277,5 @@ def load_config(path: str | Path = "config.yaml") -> Config:
     raw_model = (raw or {}).get("model") or {}
     if "bottleneck" not in raw_model:
         cfg.model.bottleneck = "convlstm" if cfg.model.use_conv_lstm else "lif"
+    apply_device(cfg)
     return cfg

@@ -35,12 +35,20 @@ EVAL_PRE_NMS_TOPK = 30000
 
 
 def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET,
-                    multi_label=False, pre_nms_topk=EVAL_PRE_NMS_TOPK):
-    """(params, images_u8 (B,T,H,W,3)) -> fixed-shape NMS dict, all jitted."""
+                    multi_label=False, pre_nms_topk=EVAL_PRE_NMS_TOPK,
+                    mesh=None):
+    """(params, images_u8 (B,T,H,W,3)) -> fixed-shape NMS dict, all jitted.
+
+    ``mesh``: optional device mesh. When given, the whole predict program
+    is sharding-annotated over it — batch over ``data`` and, on a 2-D
+    ``data x spatial`` mesh, image height over ``spatial`` (GSPMD inserts
+    the conv halo exchanges; params replicated). Same constraint as the
+    training GSPMD path: the SPMD partitioner cannot split an opaque
+    Pallas custom call, so a mesh requires the pure-XLA LIF path
+    (``runtime.lif_kernel`` auto/unrolled/xla)."""
     reg_max = detector.cfg.model.hyp.reg_max
     nc = detector.cfg.model.num_classes
 
-    @jax.jit
     def predict(params, images_u8):
         frames = preprocess_video(images_u8, dtype=detector.module.dtype)
         raw_maps, _ = detector.module.apply({"params": params}, frames)
@@ -57,15 +65,45 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
             pre_nms_topk=pre_nms_topk,
         )
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict)
+    if detector.cfg.runtime.lif_kernel == "pallas":
+        raise ValueError(
+            "mesh-sharded eval requires a partitionable LIF "
+            "(runtime.lif_kernel auto|unrolled|xla, not pallas)"
+        )
+    from ..parallel.mesh import batch_specs, replicate_sharding
+
+    rep = replicate_sharding(mesh)
+    img_sh = batch_specs(mesh)["images"]
+    return jax.jit(predict, in_shardings=(rep, img_sh), out_shardings=rep)
 
 
-def evaluate_model(cfg, detector, params, batch_size: int | None = None) -> dict:
-    """Run the full val-split evaluation; returns the results_dict."""
+def evaluate_model(
+    cfg, detector, params, batch_size: int | None = None, mesh=None
+) -> dict:
+    """Run the full val-split evaluation; returns the results_dict.
+
+    ``mesh``: optional device mesh (single-host) — eval batches shard over
+    its ``data`` axis (and image height over ``spatial`` on a 2-D mesh),
+    with params replicated; see :func:`make_predict_fn`. The batch size is
+    rounded up to tile the data axis (the loader pads + the paths loop
+    skips pad rows, so padding never reaches the metrics)."""
     index = DSECIndex(cfg, "train")
     _, val_idx = train_val_split(index, seed=cfg.training.seed)
 
     bs = batch_size or cfg.training.batch_size
+    if mesh is not None:
+        from ..parallel.mesh import data_axis_size, replicate_sharding
+
+        n_dev = data_axis_size(mesh)
+        if bs % n_dev:
+            bs = -(-bs // n_dev) * n_dev
+        # Replicate once up front: checkpoint-restored params are host
+        # numpy, and an uncommitted array would otherwise re-upload per
+        # call; a default-device-committed one would error under
+        # in_shardings.
+        params = jax.device_put(params, replicate_sharding(mesh))
     loader = BatchLoader(
         index,
         val_idx,
@@ -74,7 +112,7 @@ def evaluate_model(cfg, detector, params, batch_size: int | None = None) -> dict
         shuffle=False,
         num_threads=cfg.training.num_workers,
     )
-    predict = make_predict_fn(detector)
+    predict = make_predict_fn(detector, mesh=mesh)
     metrics = DetMetrics(cfg.model.num_classes)
 
     from tqdm import tqdm

@@ -20,6 +20,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def init_distributed(
@@ -116,14 +117,42 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def make_mesh(data: int = -1, devices: list | None = None) -> Mesh:
-    """1-D data-parallel mesh. ``data=-1`` uses all visible devices."""
+def make_mesh(
+    data: int = -1, spatial: int = 1, devices: list | None = None
+) -> Mesh:
+    """Device mesh: 1-D ``data`` (default), or 2-D ``data x spatial``.
+
+    ``spatial > 1`` adds a second axis that partitions the image-height
+    dimension of activations (GSPMD spatial parallelism — XLA inserts the
+    conv halo exchanges). ``data=-1`` uses all visible devices divided by
+    ``spatial``. Keep the spatial axis innermost: ``mesh_utils`` maps the
+    trailing mesh dim onto the most tightly coupled ICI neighbors, which
+    is where the per-layer halo traffic should ride.
+    """
     devices = devices if devices is not None else jax.devices()
-    n = len(devices) if data in (-1, 0) else data
+    spatial = max(int(spatial), 1)
+    if data in (-1, 0):
+        if len(devices) % spatial:
+            raise ValueError(
+                f"{len(devices)} visible devices not divisible by "
+                f"mesh.spatial={spatial}"
+            )
+        data = len(devices) // spatial
+    n = data * spatial
     if n > len(devices):
-        raise ValueError(f"mesh.data={n} exceeds {len(devices)} visible devices")
-    arr = mesh_utils.create_device_mesh((n,), devices=devices[:n])
-    return Mesh(arr, (DATA_AXIS,))
+        raise ValueError(
+            f"mesh {data}x{spatial}={n} exceeds {len(devices)} visible devices"
+        )
+    if spatial == 1:
+        arr = mesh_utils.create_device_mesh((n,), devices=devices[:n])
+        return Mesh(arr, (DATA_AXIS,))
+    arr = mesh_utils.create_device_mesh((data, spatial), devices=devices[:n])
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Batch-tiling requirement: the batch axis shards over ``data`` only."""
+    return mesh.shape[DATA_AXIS]
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
@@ -136,23 +165,48 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def batch_specs(mesh: Mesh) -> dict:
+    """Per-key NamedShardings for a train/eval batch.
+
+    Every key shards its leading (batch) axis over ``data``. On a 2-D
+    ``data x spatial`` mesh, ``images`` (B, T, H, W, C) additionally shards
+    H over ``spatial`` — the GSPMD partitioner then propagates that spatial
+    split through every conv in the model, inserting halo exchanges, and
+    the per-sample tensors (labels/masks) stay replicated across the
+    spatial group."""
+    dat = NamedSharding(mesh, P(DATA_AXIS))
+    img = dat
+    if SPATIAL_AXIS in mesh.axis_names:
+        img = NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS))
+    return {
+        "images": img,
+        "labels": dat,
+        "label_mask": dat,
+        "sample_mask": dat,
+    }
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, sharded over the batch axis.
+    """Place a host batch onto the mesh, sharded over the batch axis (and,
+    on a 2-D mesh, image height over ``spatial`` — see :func:`batch_specs`).
 
     Single host: a plain ``device_put`` with the batch sharding. Multi-host:
     each process passes its LOCAL slice of the global batch (leading dim =
     global_bs // process_count, see :func:`local_batch_size`) and
     ``jax.make_array_from_process_local_data`` assembles the global array —
     ``device_put`` cannot place onto non-addressable devices."""
-    sh = batch_sharding(mesh)
+    specs = batch_specs(mesh)
+    default = batch_sharding(mesh)
     if jax.process_count() == 1:
         return {
-            k: jax.device_put(np.asarray(v), sh)
+            k: jax.device_put(np.asarray(v), specs.get(k, default))
             for k, v in batch.items()
             if k != "paths"
         }
     return {
-        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        k: jax.make_array_from_process_local_data(
+            specs.get(k, default), np.asarray(v)
+        )
         for k, v in batch.items()
         if k != "paths"
     }

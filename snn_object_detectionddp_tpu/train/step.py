@@ -290,7 +290,44 @@ def make_step_fns(
     def _forward(params, frames, rec_state=None):
         return detector.module.apply({"params": params}, frames, rec_state)
 
-    if mesh is not None:
+    if mesh is not None and "spatial" in mesh.axis_names:
+        # GSPMD path (data x spatial mesh): ONE logical program with
+        # sharding-annotated inputs — images shard batch over `data` and
+        # image-height over `spatial`; the SPMD partitioner propagates the
+        # split through every conv (inserting halo exchanges over ICI) and
+        # all-reduces gradients where sharded activations meet replicated
+        # params. No shard_map, no explicit collectives, and the math IS
+        # the single-device math by construction (GSPMD is
+        # semantics-preserving) — tests/test_spatial.py asserts step-for-
+        # step equivalence anyway. Requires the pure-XLA LIF path: the
+        # partitioner cannot split an opaque tpu_custom_call, so the Pallas
+        # kernels are rejected here (the layout-preserving unrolled path is
+        # the fastest anyway — see models/lif.py::set_lif_impl).
+        from functools import partial
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import batch_specs
+
+        if cfg.runtime.lif_kernel == "pallas":
+            raise ValueError(
+                "mesh.spatial > 1 requires a partitionable LIF "
+                "(runtime.lif_kernel auto|unrolled|xla, not pallas)"
+            )
+        rep = NamedSharding(mesh, P())
+        batch_sh = batch_specs(mesh)
+        train_step = jax.jit(
+            partial(_train_step, axis=None),
+            in_shardings=(rep, batch_sh),
+            out_shardings=(rep, rep),
+            donate_argnums=0,
+        )
+        eval_step = jax.jit(
+            partial(_eval_step, axis=None),
+            in_shardings=(rep, batch_sh),
+            out_shardings=rep,
+        )
+    elif mesh is not None:
         # shard_map, not sharding annotations: the SPMD partitioner cannot
         # split an opaque tpu_custom_call (the Pallas LIF kernels), so the
         # per-device program must be written in LOCAL shapes — shard_map

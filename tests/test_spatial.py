@@ -1,0 +1,182 @@
+"""Spatial (GSPMD) parallelism: data x spatial meshes.
+
+The reference is data-parallel-in-name-only (SURVEY §2.5); spatial
+partitioning is this build's TPU-native way to scale a single replica —
+the image-height axis of every activation shards over the `spatial` mesh
+axis and XLA's SPMD partitioner inserts the conv halo exchanges. These
+tests pin the two contracts that matter: (a) a data x spatial step is
+bit-compatible (up to f32 reassociation) with the single-device step,
+(b) mesh/batch plumbing rejects bad geometry loudly.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_train import _batch, _tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """f32 detector: spatial sharding reassociates f32 sums (GroupNorm
+    stats, halo conv edges), and in bf16 that epsilon reaches the LIF
+    Heaviside threshold somewhere in the volume — one flipped spike is an
+    O(1) activation change, so bf16 SP-vs-single comparisons can only be
+    statistical. In f32 the drift (~1e-7 relative) never flips a spike at
+    these seeds and the equivalence is tight, which is the contract worth
+    pinning."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(11))
+    tx, schedule = make_optimizer(cfg.training.learning_rate, total_steps=100)
+    fns = make_step_fns(det, tx, schedule)
+
+    def fresh_state():
+        return init_state(
+            jax.tree.map(lambda x: x.copy(), params), tx, schedule
+        )
+
+    return cfg, det, tx, schedule, fns, fresh_state
+
+
+def test_make_mesh_2d_shapes():
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        data_axis_size,
+        make_mesh,
+    )
+
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    m = make_mesh(-1, 2)
+    assert m.axis_names == ("data", "spatial")
+    assert m.shape["data"] == 4 and m.shape["spatial"] == 2
+    assert data_axis_size(m) == 4
+    m1 = make_mesh(-1)
+    assert m1.axis_names == ("data",) and data_axis_size(m1) == 8
+    with pytest.raises(ValueError):
+        make_mesh(-1, 3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        make_mesh(8, 2)  # 16 > 8 devices
+
+
+def test_batch_specs_spatial_axis():
+    from jax.sharding import PartitionSpec as P
+
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        batch_specs,
+        make_mesh,
+    )
+
+    specs = batch_specs(make_mesh(-1, 2))
+    assert specs["images"].spec == P("data", None, "spatial")
+    assert specs["labels"].spec == P("data")
+    specs1 = batch_specs(make_mesh(-1))
+    assert specs1["images"].spec == P("data")
+
+
+@pytest.mark.parametrize("geom", [(4, 2), (2, 4)])
+def test_spatial_matches_single_device(setup, geom):
+    """One train step on a data x spatial mesh must reproduce the
+    single-device step: same loss, same updated params (GSPMD is
+    semantics-preserving; halo exchange + sharded reductions only
+    reassociate f32 sums)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    d, s = geom
+    mesh = make_mesh(d, s)
+    fns_sp = make_step_fns(det, tx, schedule, mesh=mesh)
+
+    params = det.init_params(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(3), b=max(d, 4))
+
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    state_a, m_a = fns.train_step(state_a, batch)
+    state_b, m_b = fns_sp.train_step(state_b, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_a["params"])),
+        jax.tree.leaves(jax.device_get(state_b["params"])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_spatial_eval_matches_single_device(setup):
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    mesh = make_mesh(4, 2)
+    fns_sp = make_step_fns(det, tx, schedule, mesh=mesh)
+
+    params = det.init_params(jax.random.PRNGKey(9))
+    batch = _batch(np.random.RandomState(4), b=4)
+    m_a = jax.device_get(fns.eval_step(params, batch))
+    m_b = jax.device_get(fns_sp.eval_step(params, shard_batch(batch, mesh)))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4)
+
+
+def test_spatial_predict_matches_single_device(setup):
+    """Eval/NMS predict under a data x spatial mesh must reproduce the
+    single-device predict: same valid mask, same kept boxes/scores
+    (GSPMD only reassociates f32 sums; NMS decisions at these seeds sit
+    nowhere near a threshold edge)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.evals.validator import make_predict_fn
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    params = det.init_params(jax.random.PRNGKey(5))
+    images = np.random.RandomState(6).randint(
+        0, 255, size=(4, 2, 64, 64, 3), dtype=np.uint8
+    )
+
+    out_a = jax.device_get(make_predict_fn(det)(params, images))
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    out_b = jax.device_get(
+        make_predict_fn(det, mesh=mesh)(params, images)
+    )
+
+    np.testing.assert_array_equal(out_a["valid"], out_b["valid"])
+    v = out_a["valid"]
+    np.testing.assert_array_equal(out_a["classes"][v], out_b["classes"][v])
+    np.testing.assert_allclose(out_a["scores"][v], out_b["scores"][v], rtol=1e-5)
+    np.testing.assert_allclose(
+        out_a["boxes"][v], out_b["boxes"][v], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_spatial_rejects_pallas_lif(setup):
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+    from snn_object_detectionddp_tpu.train.step import make_step_fns
+
+    cfg, det, tx, schedule, fns, _fresh = setup
+    cfg2 = _tiny_cfg()
+    cfg2.runtime.lif_kernel = "pallas"
+    det2 = Detector.from_config(cfg2)
+    try:
+        with pytest.raises(ValueError, match="partitionable LIF"):
+            make_step_fns(det2, tx, schedule, mesh=make_mesh(4, 2))
+    finally:
+        # Detector.from_config sets the process-global LIF impl; restore
+        # the suite default so later tests see the auto path.
+        Detector.from_config(cfg)
