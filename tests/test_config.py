@@ -58,6 +58,28 @@ def test_reference_schema_loads(tmp_path):
     assert load_config(p).model.bottleneck == "lif"
 
 
+def test_device_cpu_forces_platform(tmp_path):
+    """device: "cpu" must pin the JAX platform before backend init (the
+    tunneled TPU plugin ignores JAX_PLATFORMS; with its relay down an
+    accidental TPU init hangs forever). The suite already runs on a forced
+    CPU backend, so this pins the invariant rather than the transition:
+    load_config must succeed and leave the platform set to cpu."""
+    import jax
+
+    p = tmp_path / "cpu.yaml"
+    p.write_text(yaml.safe_dump({"device": "cpu"}))
+    cfg = load_config(p)
+    assert cfg.device == "cpu"
+    assert jax.config.jax_platforms == "cpu"
+    assert jax.default_backend() == "cpu"
+
+
+def test_mesh_spatial_validation():
+    with pytest.raises(ValueError):
+        Config.from_dict({"mesh": {"spatial": 0}})
+    assert Config.from_dict({"mesh": {"spatial": 2}}).mesh.spatial == 2
+
+
 def test_validation_errors():
     with pytest.raises(ValueError):
         Config.from_dict({"training": {"batch_size": 0}})
