@@ -420,11 +420,49 @@ def measure_streaming(n_frames: int = 200) -> dict:
     jax.device_get(out["scores"][0, 0])  # drain
     device_total = time.perf_counter() - t0
 
+    # (c) Chunked streaming (all_steps decode): dispatch CHUNK frames per
+    # call, decoder+head run once on the folded (CHUNK*1) batch and emit
+    # per-frame detections for every frame — math identical to (b)
+    # (tests/test_streaming.py::test_all_steps_equals_streaming), latency
+    # +CHUNK-1 frames, throughput at batched conv efficiency.
+    chunk = 4
+
+    @jax.jit
+    def predict_chunk(params, images_u8, rec_state):
+        frames = preprocess_video(images_u8[None])  # (1,CHUNK,...)->(CHUNK,1,...)
+        raw, new_state = detector.module.apply(
+            {"params": params}, frames, rec_state, all_steps=True
+        )
+        boxes, scores = decode_predictions(
+            raw, reg_max, nc, image_hw=(IMG_H, IMG_W)
+        )  # leading dim CHUNK*1 = one row per frame
+        out = batched_nms(
+            boxes, scores, conf_thres=0.3, iou_thres=0.45, max_det=100
+        )
+        return out, new_state
+
+    chunks = [
+        jax.device_put(frames_host[(i * chunk) % 8 : (i * chunk) % 8 + chunk, 0])
+        for i in range(2)
+    ]
+    rec_state = None
+    out, rec_state = predict_chunk(params, chunks[0], rec_state)  # compile
+    jax.device_get(out["scores"][0, 0])
+    t0 = time.perf_counter()
+    for i in range(n_frames // chunk):
+        out, rec_state = predict_chunk(params, chunks[i % 2], rec_state)
+    jax.device_get(out["scores"][0, 0])  # drain
+    chunk_total = time.perf_counter() - t0
+    n_chunked = (n_frames // chunk) * chunk
+
     return {
         "streaming_fps": round(n_frames / total, 2),
         "streaming_latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
         "streaming_latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 2),
         "streaming_fps_device": round(n_frames / device_total, 2),
+        f"streaming_fps_device_chunk{chunk}": round(
+            n_chunked / chunk_total, 2
+        ),
     }
 
 

@@ -34,7 +34,12 @@ from .unet import TemporalUNet
 
 
 class SNNTemporalDetector(nn.Module):
-    """(T, B, H, W, 3) frames -> 3 raw detection maps (last timestep) + state."""
+    """(T, B, H, W, 3) frames -> 3 raw detection maps (last timestep) + state.
+
+    ``all_steps=True``: raw maps carry a (T*B) leading dim (time-major) —
+    one set of detection maps per frame of the chunk, produced by a single
+    decoder/head pass over the folded batch (chunked streaming; see
+    TemporalUNet.all_steps)."""
 
     num_classes: int
     reg_max: int = 16
@@ -47,7 +52,12 @@ class SNNTemporalDetector(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, frames_t: jnp.ndarray, state: dict | None = None):
+    def __call__(
+        self,
+        frames_t: jnp.ndarray,
+        state: dict | None = None,
+        all_steps: bool = False,
+    ):
         state = state or {}
         feats, bstate = SpikingBackbone(
             lif=self.lif,
@@ -63,7 +73,7 @@ class SNNTemporalDetector(nn.Module):
             bottleneck=self.bottleneck,
             dtype=self.dtype,
             name="unet",
-        )(feats, state.get("unet"))
+        )(feats, state.get("unet"), all_steps=all_steps)
         raw_maps = DetectHead(
             num_classes=self.num_classes,
             reg_max=self.reg_max,
@@ -125,8 +135,16 @@ class Detector:
             sample_frames = jnp.zeros((1, 1, h, w, 3), jnp.float32)
         return self.module.init(rng, sample_frames)["params"]
 
-    def apply(self, params, frames_t: jnp.ndarray, state: dict | None = None):
-        return self.module.apply({"params": params}, frames_t, state)
+    def apply(
+        self,
+        params,
+        frames_t: jnp.ndarray,
+        state: dict | None = None,
+        all_steps: bool = False,
+    ):
+        return self.module.apply(
+            {"params": params}, frames_t, state, all_steps=all_steps
+        )
 
     def detect_image(
         self,

@@ -66,7 +66,12 @@ class SpikingConvBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x_t: jnp.ndarray, v0: jnp.ndarray | None = None):
+    def __call__(
+        self,
+        x_t: jnp.ndarray,
+        v0: jnp.ndarray | None = None,
+        with_readouts: bool = False,
+    ):
         t, b = x_t.shape[:2]
         x = x_t.reshape((t * b,) + x_t.shape[2:]).astype(self.dtype)
         x = nn.Conv(
@@ -118,7 +123,16 @@ class SpikingConvBlock(nn.Module):
         # Stay in the conv's 4D (T*B, H, W, C) shape through the LIF stage:
         # the 5D round-trip broke the conv's batch-minor layout and cost a
         # relayout copy on each side at stem geometries (run_affine_lif_tb).
-        spikes4, v_final = run_affine_lif_tb(x, a, bias, self.lif, v0)
+        reads4 = None
+        if with_readouts:
+            # All-steps decoding: per-step continuous readouts, kept in the
+            # conv's 4D (T*B, H, W, C) shape so the decoder consumes them
+            # without a layout-breaking (T, B) dim split.
+            spikes4, v_final, reads4 = run_affine_lif_tb(
+                x, a, bias, self.lif, v0, with_readouts=True
+            )
+        else:
+            spikes4, v_final = run_affine_lif_tb(x, a, bias, self.lif, v0)
         spikes = spikes4.reshape((t, b) + spikes4.shape[1:])
         # SNN observability: mean firing rate, materialized only when the
         # caller requests the 'intermediates' collection (XLA drops it
@@ -128,6 +142,8 @@ class SpikingConvBlock(nn.Module):
             "spike_rate",
             jnp.mean(spikes.astype(jnp.float32)),
         )
+        if with_readouts:
+            return spikes, v_final, reads4
         return spikes, v_final
 
 

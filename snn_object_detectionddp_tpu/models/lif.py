@@ -150,13 +150,24 @@ def set_lif_impl(impl: str) -> None:
     _LIF_IMPL = impl
 
 
+def _step_readout(s: jnp.ndarray, v_next: jnp.ndarray, p: LIFParams) -> jnp.ndarray:
+    """Per-step continuous readout: ``v_next + s*threshold`` — the same
+    formula :func:`models.layers.membrane_readout` applies at the final
+    step (pre-reset membrane under soft reset), evaluated at every step.
+    Per-step readouts are what lets the U-Net decoder run on ALL timesteps
+    of a chunk (all-steps streaming) with math identical to T chained
+    single-step calls."""
+    return v_next + s.astype(v_next.dtype) * p.threshold
+
+
 def affine_lif_unrolled(
     x_t: jnp.ndarray,  # (T, B, H, W, C) raw conv outputs
     a: jnp.ndarray,  # (T, B, C) scale
     b: jnp.ndarray,  # (T, B, C) shift
     p: LIFParams,
     v0: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    with_readouts: bool = False,
+):
     """Normalize+LIF as straight-line unrolled elementwise ops.
 
     TPU-layout rationale: XLA lays out conv activations batch-minor on the
@@ -166,11 +177,15 @@ def affine_lif_unrolled(
     fuse the GroupNorm affine and the whole membrane recurrence into
     layout-agnostic loop fusions: the normalized current never
     materializes, no while-loop carry constraints, zero copies.
+
+    ``with_readouts=True`` additionally returns the per-step continuous
+    readouts (T, B, H, W, C) in x's dtype (see :func:`_step_readout`).
     """
     if v0 is None:
         v0 = jnp.zeros(x_t.shape[1:], dtype=jnp.float32)
     v = v0
     spikes = []
+    reads = []
     for t in range(x_t.shape[0]):
         cur = (
             x_t[t].astype(jnp.float32) * a[t, :, None, None, :]
@@ -178,6 +193,10 @@ def affine_lif_unrolled(
         )
         s, v = lif_step(v, cur, p)
         spikes.append(s.astype(x_t.dtype))
+        if with_readouts:
+            reads.append(_step_readout(s, v, p).astype(x_t.dtype))
+    if with_readouts:
+        return jnp.stack(spikes), v, jnp.stack(reads)
     return jnp.stack(spikes), v
 
 
@@ -187,7 +206,8 @@ def affine_lif_unrolled_tb(
     b: jnp.ndarray,  # (T, B, C) shift
     p: LIFParams,
     v0: jnp.ndarray | None = None,  # (B, H, W, C)
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    with_readouts: bool = False,
+):
     """4D variant of :func:`affine_lif_unrolled` that never leaves the
     conv's (T*B, H, W, C) shape.
 
@@ -198,12 +218,17 @@ def affine_lif_unrolled_tb(
     of the 4D tensor and concatenating the spike slabs back keeps one
     layout end-to-end — the slices and the concat fuse into the
     elementwise LIF fusions.
+
+    ``with_readouts=True`` additionally returns per-step continuous
+    readouts as a (T*B, H, W, C) tensor in x's dtype (kept 4D for the same
+    layout reason).
     """
     t_steps, bsz = a.shape[0], a.shape[1]
     if v0 is None:
         v0 = jnp.zeros((bsz,) + x4.shape[1:], dtype=jnp.float32)
     v = v0
     spikes = []
+    reads = []
     for t in range(t_steps):
         xt = jax.lax.slice_in_dim(x4, t * bsz, (t + 1) * bsz, axis=0)
         cur = (
@@ -212,6 +237,14 @@ def affine_lif_unrolled_tb(
         )
         s, v = lif_step(v, cur, p)
         spikes.append(s.astype(x4.dtype))
+        if with_readouts:
+            reads.append(_step_readout(s, v, p).astype(x4.dtype))
+    if with_readouts:
+        return (
+            jnp.concatenate(spikes, axis=0),
+            v,
+            jnp.concatenate(reads, axis=0),
+        )
     return jnp.concatenate(spikes, axis=0), v
 
 
@@ -237,11 +270,13 @@ def run_affine_lif_tb(
     b: jnp.ndarray,  # (T, B, C) shift
     p: LIFParams,
     v0: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    with_readouts: bool = False,
+):
     """Layout-preserving dispatch on the conv's native 4D activation.
 
-    Returns (spikes (T*B, H, W, C), v_final (B, H, W, C)). On the unrolled
-    TPU path the 5D (T, B, ...) view never exists, so the conv's
+    Returns (spikes (T*B, H, W, C), v_final (B, H, W, C)) — plus, with
+    ``with_readouts=True``, the per-step readouts (T*B, H, W, C). On the
+    unrolled TPU path the 5D (T, B, ...) view never exists, so the conv's
     batch-minor layout flows straight through the LIF fusions (see
     affine_lif_unrolled_tb). Other impls reshape to the 5D contract.
     """
@@ -249,10 +284,14 @@ def run_affine_lif_tb(
     if impl == "auto":
         impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
     if impl == "unrolled":
-        return affine_lif_unrolled_tb(x4, a, b, p, v0)
+        return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
     t_steps, bsz = a.shape[0], a.shape[1]
     x5 = x4.reshape((t_steps, bsz) + x4.shape[1:])
-    spikes, v_fin = run_affine_lif(x5, a, b, p, v0)
+    out = run_affine_lif(x5, a, b, p, v0, with_readouts)
+    if with_readouts:
+        spikes, v_fin, reads = out
+        return spikes.reshape(x4.shape), v_fin, reads.reshape(x4.shape)
+    spikes, v_fin = out
     return spikes.reshape(x4.shape), v_fin
 
 
@@ -262,11 +301,16 @@ def run_affine_lif(
     b: jnp.ndarray,  # (T, B, C) shift
     p: LIFParams,
     v0: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    with_readouts: bool = False,
+):
     """Dispatching entry for the fused normalize+LIF stage: on TPU (and
     lane-compatible shapes) the GroupNorm normalize pass runs inside the
     LIF kernel's time loop (kernels/affine_lif_pallas.py) — the normalized
-    tensor never touches HBM. Elsewhere, the equivalent XLA broadcast+scan."""
+    tensor never touches HBM. Elsewhere, the equivalent XLA broadcast+scan.
+
+    ``with_readouts=True`` (all-steps decoding) is served by the unrolled /
+    scan paths; the Pallas kernel does not emit per-step readouts and is
+    rejected for that mode."""
     from ..kernels.affine_lif_pallas import (
         affine_lif_pallas,
         affine_lif_xla,
@@ -278,6 +322,25 @@ def run_affine_lif(
     impl = _LIF_IMPL
     if impl == "auto":
         impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
+    if with_readouts:
+        if impl == "pallas":
+            raise ValueError(
+                "per-step readouts (all-steps decoding) require a non-Pallas "
+                "LIF (runtime.lif_kernel auto|unrolled|xla)"
+            )
+        if impl == "unrolled":
+            return affine_lif_unrolled(x_t, a, b, p, v0, with_readouts=True)
+        cur = (
+            x_t.astype(jnp.float32) * a[:, :, None, None, :]
+            + b[:, :, None, None, :]
+        )
+
+        def body(v, c):
+            s, v_next = lif_step(v, c, p)
+            return v_next, (s, _step_readout(s, v_next, p))
+
+        v_fin, (spikes, reads) = jax.lax.scan(body, v0, cur)
+        return spikes.astype(x_t.dtype), v_fin, reads.astype(x_t.dtype)
     if impl == "unrolled":
         return affine_lif_unrolled(x_t, a, b, p, v0)
     if impl == "pallas" and supported(x_t.shape, x_t.dtype):

@@ -39,7 +39,12 @@ from .lif import LIFParams
 
 class TemporalUNet(nn.Module):
     """(p3, p4, p5) spike trains (each (T, B, h, w, c)) -> refined
-    (p3', p4', p5') single-timestep maps (B, h, w, c) + recurrent state."""
+    (p3', p4', p5') single-timestep maps (B, h, w, c) + recurrent state.
+
+    ``all_steps=True`` (chunked streaming): the decoder runs on EVERY
+    timestep's per-step membrane readouts, folded to one (T*B, h, w, c)
+    batch — returns per-step maps with leading dim T*B (time-major), same
+    parameters, math identical to T chained single-step calls."""
 
     lif: LIFParams
     base: int = 128  # reference encoder widths 128/256/512/1024 (model.py:108-115)
@@ -47,29 +52,39 @@ class TemporalUNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats: tuple, state: dict | None = None):
+    def __call__(
+        self, feats: tuple, state: dict | None = None, all_steps: bool = False
+    ):
         p3, p4, p5 = feats
         ch_p3, ch_p4, ch_p5 = p3.shape[-1], p4.shape[-1], p5.shape[-1]
         c1, c2, c3, c4 = self.base, self.base * 2, self.base * 4, self.base * 8
         state = state or {}
         new_state: dict = {}
+        t, b = p3.shape[:2]
 
         # --- Encoder with P4/P5 fusion (reference: model.py:125-128) ---
-        x1, new_state["enc1"] = SpikingConvBlock(
+        # With all_steps the encoder blocks also emit per-step continuous
+        # readouts (T*B, h, w, c) — the decoder then runs ONCE on the
+        # folded (T*B) batch instead of once on the last step, producing
+        # detection maps for EVERY frame of the chunk with math identical
+        # to T chained single-step calls (tests/test_streaming.py).
+        x1, new_state["enc1"], *r1 = SpikingConvBlock(
             c1, self.lif, dtype=self.dtype, name="enc1"
-        )(p3, state.get("enc1"))
+        )(p3, state.get("enc1"), with_readouts=all_steps)
         d1, new_state["down1"] = SpikingDownBlock(
             c2, self.lif, dtype=self.dtype, name="down1"
         )(x1, state.get("down1"))
-        x2, new_state["enc2"] = SpikingConvBlock(
+        x2, new_state["enc2"], *r2 = SpikingConvBlock(
             c2, self.lif, dtype=self.dtype, name="enc2"
-        )(jnp.concatenate([d1, p4], axis=-1), state.get("enc2"))
+        )(jnp.concatenate([d1, p4], axis=-1), state.get("enc2"),
+          with_readouts=all_steps)
         d2, new_state["down2"] = SpikingDownBlock(
             c3, self.lif, dtype=self.dtype, name="down2"
         )(x2, state.get("down2"))
-        x3, new_state["enc3"] = SpikingConvBlock(
+        x3, new_state["enc3"], *r3 = SpikingConvBlock(
             c3, self.lif, dtype=self.dtype, name="enc3"
-        )(jnp.concatenate([d2, p5], axis=-1), state.get("enc3"))
+        )(jnp.concatenate([d2, p5], axis=-1), state.get("enc3"),
+          with_readouts=all_steps)
         d3, new_state["down3"] = SpikingDownBlock(
             c4, self.lif, dtype=self.dtype, name="down3"
         )(x3, state.get("down3"))
@@ -79,7 +94,7 @@ class TemporalUNet(nn.Module):
             h_seq, new_state["bottleneck"] = ConvLSTM2d(
                 c4, dtype=self.dtype, name="bottleneck"
             )(d3, state.get("bottleneck"))
-            bott = h_seq[-1]
+            bott_seq = h_seq
         elif self.bottleneck == "lstm":
             # Reference's use_conv_lstm=False variant: 2-layer LSTM over
             # flattened spatial tokens (reference: model.py:113-114,131-137).
@@ -88,23 +103,39 @@ class TemporalUNet(nn.Module):
             h_seq, new_state["bottleneck"] = TokenLSTM(
                 c4, dtype=self.dtype, name="bottleneck"
             )(d3, state.get("bottleneck"))
-            bott = h_seq[-1]
+            bott_seq = h_seq
         else:  # "lif": membrane potential is the recurrence
-            spikes, v_final = SpikingConvBlock(
+            spikes, v_final, *rb = SpikingConvBlock(
                 c4, self.lif, dtype=self.dtype, name="bottleneck"
-            )(d3, state.get("bottleneck"))
+            )(d3, state.get("bottleneck"), with_readouts=all_steps)
             new_state["bottleneck"] = v_final
-            bott = membrane_readout(spikes, v_final, self.lif)
+            bott_seq = None if all_steps else membrane_readout(
+                spikes, v_final, self.lif
+            )
+
+        if all_steps:
+            # Fold T into the batch axis: the decoder convs run one big
+            # (T*B) MXU batch — per-step maps at batched efficiency.
+            if self.bottleneck in ("convlstm", "lstm"):
+                bott = bott_seq.reshape((t * b,) + bott_seq.shape[2:])
+            else:
+                bott = rb[0]  # already (T*B, h, w, c4)
+            skip3, skip2, skip1 = (
+                r3[0].astype(self.dtype),
+                r2[0].astype(self.dtype),
+                r1[0].astype(self.dtype),
+            )
+        else:
+            bott = bott_seq if bott_seq.ndim == 4 else bott_seq[-1]
+            # Decoder on the final timestep only; skip connections read
+            # continuous membrane readouts (see module doc).
+            skip3 = self._readout(x3, new_state["enc3"])
+            skip2 = self._readout(x2, new_state["enc2"])
+            skip1 = self._readout(x1, new_state["enc1"])
 
         bott = ConvBlock(c4, dtype=self.dtype, name="bottleneck_conv")(
             bott.astype(self.dtype)
         )
-
-        # --- Decoder on the final timestep only ---
-        # Skip connections read continuous membrane readouts (see module doc).
-        skip3 = self._readout(x3, new_state["enc3"])
-        skip2 = self._readout(x2, new_state["enc2"])
-        skip1 = self._readout(x1, new_state["enc1"])
 
         u1 = UpBlock(c3, dtype=self.dtype, name="up1")(bott, skip3)
         u2 = UpBlock(c2, dtype=self.dtype, name="up2")(u1, skip2)

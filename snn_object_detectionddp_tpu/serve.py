@@ -26,6 +26,12 @@ Endpoints (JSON):
   POST /detect  {"stream": "cam0", "image": <base64 png/jpg>}
       -> {"boxes": [[x1,y1,x2,y2],...], "scores": [...], "classes": [...],
           "latency_ms": float}
+  POST /detect  {"stream": "cam0", "images": [<base64>, ...]}   (clip)
+      -> {"frames": [{boxes,scores,classes}, ...], "latency_ms": float}
+      A clip of consecutive frames runs in chained chunk dispatches with
+      the decoder/head folded over the whole chunk (all_steps decode) —
+      per-frame detections, same math as frame-by-frame, far fewer
+      dispatches (the chip's batched conv rate instead of B=1 latency).
   POST /reset   {"stream": "cam0"}   -> {"ok": true}   (drop state)
   GET  /healthz -> {"ok": true, "streams": N, "backend": "tpu"}
 
@@ -48,9 +54,10 @@ from typing import Any
 @dataclass
 class _Job:
     stream: str
-    image_u8: Any  # (H, W, 3) uint8 numpy
+    image_u8: Any  # (H, W, 3) uint8 numpy — or (T, H, W, 3) when clip=True
     reply: queue.Queue = field(default_factory=lambda: queue.Queue(maxsize=1))
     t0: float = field(default_factory=time.perf_counter)  # enqueue time
+    clip: bool = False  # multi-frame chunk: per-frame detections, one job
 
 
 class DetectionService:
@@ -58,7 +65,8 @@ class DetectionService:
 
     def __init__(self, detector, params, conf: float = 0.3, iou: float = 0.45,
                  max_det: int = 100, max_streams: int = 64,
-                 max_batch: int = 8, reply_timeout_s: float = 120.0):
+                 max_batch: int = 8, reply_timeout_s: float = 120.0,
+                 max_clip: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -107,6 +115,41 @@ class DetectionService:
             return out, new_state
 
         self._predict = predict
+
+        # Clip (chunk) program: T frames of ONE stream per dispatch, the
+        # decoder/head running once on the folded (T*1) batch (all_steps
+        # decode — math identical to T chained single-frame calls,
+        # tests/test_streaming.py). Compiled at the power-of-two sizes
+        # {2, 4, ..., max_clip}; longer clips chain greedily (8+4+1...).
+        # The Pallas LIF kernel cannot emit the per-step readouts this
+        # needs, so clip support turns off under runtime.lif_kernel=pallas.
+        if detector.cfg.runtime.lif_kernel == "pallas":
+            max_clip = 1
+        self.clip_sizes = []
+        k = 2
+        while k <= max_clip:
+            self.clip_sizes.append(k)
+            k *= 2
+        self.max_clip = max_clip
+
+        @jax.jit
+        def predict_clip(params, images_u8, rec_state):
+            # images_u8: (T, H, W, 3) -> window (T, 1, H, W, 3)
+            frames = preprocess_video(
+                images_u8[None], dtype=detector.module.dtype
+            )
+            raw, new_state = detector.module.apply(
+                {"params": params}, frames, rec_state, all_steps=True
+            )  # raw maps: leading dim T*1 = one row per frame
+            boxes, scores = decode_predictions(
+                raw, reg_max, nc, image_hw=(h, w)
+            )
+            out = batched_nms(
+                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
+            )
+            return out, new_state
+
+        self._predict_clip = predict_clip
         # Fresh-stream state: the model zero-inits recurrent state on the
         # first step (state=None), so a zeros pytree of the state structure
         # is the exact first-frame state; eval_shape gives the structure
@@ -167,6 +210,10 @@ class DetectionService:
             state = self._stack_states([self._zero_state1] * k)
             out, _ = self._predict(self.params, imgs, state)
             jax.block_until_ready(out)
+        for t in self.clip_sizes:
+            clip = np.zeros((t, h, w, 3), np.uint8)
+            out, _ = self._predict_clip(self.params, clip, self._zero_state1)
+            jax.block_until_ready(out)
 
     # -- API ---------------------------------------------------------------
     def detect(self, stream: str, image_u8) -> dict:
@@ -177,9 +224,26 @@ class DetectionService:
                 "(the serving program is compiled for the configured "
                 "model.image_size; resize client-side)"
             )
+        return self._submit(_Job(stream, image_u8))
+
+    def detect_clip(self, stream: str, clip_u8) -> dict:
+        """Run T consecutive frames of one stream in chained chunk
+        dispatches; returns {"frames": [per-frame dicts], "latency_ms"}.
+        Math identical to T sequential :meth:`detect` calls; state advances
+        by all T frames."""
+        h, w = self.image_hw
+        if clip_u8.ndim != 4 or clip_u8.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected (T, {h}, {w}, 3) uint8 clip, got {clip_u8.shape}"
+            )
+        if clip_u8.shape[0] == 1:
+            out = self.detect(stream, clip_u8[0])
+            return {"frames": [out], "latency_ms": out["latency_ms"]}
+        return self._submit(_Job(stream, clip_u8, clip=True))
+
+    def _submit(self, job: _Job) -> dict:
         if not (self._started and self._worker.is_alive()):
             raise RuntimeError("detection worker is not running")
-        job = _Job(stream, image_u8)
         self._q.put(job)
         # Bounded wait + liveness check: a crashed worker must surface as
         # an error to the caller, never a forever-blocked HTTP handler.
@@ -237,12 +301,16 @@ class DetectionService:
             first = self._q.get()
             if first is None:
                 return None
+        if first.clip:
+            # A clip occupies the whole dispatch (its T axis IS the batch
+            # through the folded decoder); never mixed with other jobs.
+            return [first]
         jobs = [first]
         streams = {first.stream}
         # Deferred jobs first (FIFO per stream), then fresh queue items.
         i = 0
         while len(jobs) < self.max_batch and i < len(self._deferred):
-            if self._deferred[i].stream in streams:
+            if self._deferred[i].clip or self._deferred[i].stream in streams:
                 i += 1
                 continue
             j = self._deferred.pop(i)
@@ -256,7 +324,7 @@ class DetectionService:
             if nxt is None:
                 self._q.put(None)  # re-post: stop after this batch
                 break
-            if nxt.stream in streams:
+            if nxt.clip or nxt.stream in streams:
                 # Backpressure: _deferred sits OUTSIDE the bounded request
                 # queue, so without a cap a client pipelining one stream
                 # faster than its serial chain drains would grow it (and
@@ -302,6 +370,9 @@ class DetectionService:
                     j.reply.put(RuntimeError("service stopped"))
                 return
             try:
+                if jobs[0].clip:
+                    self._run_clip(jobs[0])
+                    continue
                 n = len(jobs)
                 k = next(s for s in self.batch_sizes if s >= n)
                 with self._state_lock:
@@ -367,6 +438,60 @@ class DetectionService:
                 for j in jobs:
                     j.reply.put(e)
 
+    def _run_clip(self, job: _Job) -> None:
+        """One clip job: greedy chain of compiled chunk programs (largest
+        power-of-two first), state carried across segments on device —
+        per-frame detections with the exact sequential-call math."""
+        import jax
+        import numpy as np
+
+        t_total = job.image_u8.shape[0]
+        with self._state_lock:
+            st = self._states.get(job.stream)
+            gen0 = self._gen.get(job.stream, 0)
+        state = st if st is not None else self._zero_state1
+        outs = []
+        i = 0
+        while i < t_total:
+            rem = t_total - i
+            size = next(
+                (s for s in sorted(self.clip_sizes, reverse=True) if s <= rem),
+                1,
+            )
+            seg = np.ascontiguousarray(job.image_u8[i : i + size])
+            if size == 1:
+                out, state = self._predict(self.params, seg, state)
+            else:
+                out, state = self._predict_clip(self.params, seg, state)
+            outs.append(out)
+            i += size
+        host = jax.device_get(outs)
+        with self._state_lock:
+            if self._gen.get(job.stream, 0) == gen0:
+                self._states[job.stream] = state
+                if job.stream in self._lru:
+                    self._lru.remove(job.stream)
+                self._lru.append(job.stream)
+                while len(self._lru) > self.max_streams:
+                    self._drop_stream_locked(self._lru[0])
+        now = time.perf_counter()
+        frames = []
+        for h in host:
+            for r in range(h["valid"].shape[0]):
+                valid = h["valid"][r]
+                frames.append({
+                    "boxes": np.asarray(h["boxes"][r][valid]).round(2).tolist(),
+                    "scores": np.asarray(
+                        h["scores"][r][valid]
+                    ).round(4).tolist(),
+                    "classes": np.asarray(h["classes"][r][valid]).tolist(),
+                })
+        job.reply.put({
+            "frames": frames,
+            "latency_ms": round((now - job.t0) * 1e3, 2),
+            "chunks": len(outs),
+        })
+
 
 def make_handler(service: DetectionService):
     import cv2
@@ -405,17 +530,31 @@ def make_handler(service: DetectionService):
                 if self.path != "/detect":
                     self._json(404, {"error": "unknown path"})
                     return
-                raw = base64.b64decode(req["image"])
-                bgr = cv2.imdecode(
-                    np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR
-                )
-                if bgr is None:
-                    self._json(400, {"error": "undecodable image"})
-                    return
                 h, w = service.image_hw
-                if bgr.shape[:2] != (h, w):
-                    bgr = cv2.resize(bgr, (w, h))
-                out = service.detect(stream, bgr[:, :, ::-1].copy())
+
+                def decode_one(b64):
+                    bgr = cv2.imdecode(
+                        np.frombuffer(base64.b64decode(b64), np.uint8),
+                        cv2.IMREAD_COLOR,
+                    )
+                    if bgr is None:
+                        return None
+                    if bgr.shape[:2] != (h, w):
+                        bgr = cv2.resize(bgr, (w, h))
+                    return bgr[:, :, ::-1]
+
+                if "images" in req:  # clip: consecutive frames, one call
+                    imgs = [decode_one(b) for b in req["images"]]
+                    if not imgs or any(i is None for i in imgs):
+                        self._json(400, {"error": "undecodable image in clip"})
+                        return
+                    out = service.detect_clip(stream, np.stack(imgs))
+                else:
+                    rgb = decode_one(req["image"])
+                    if rgb is None:
+                        self._json(400, {"error": "undecodable image"})
+                        return
+                    out = service.detect(stream, rgb.copy())
                 self._json(200, out)
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -423,7 +562,8 @@ def make_handler(service: DetectionService):
     return Handler
 
 
-def serve(cfg, weights: str | None, port: int = 8000, max_batch: int = 8):
+def serve(cfg, weights: str | None, port: int = 8000, max_batch: int = 8,
+          max_clip: int = 8):
     import jax
 
     from .models.detector import Detector
@@ -443,7 +583,9 @@ def serve(cfg, weights: str | None, port: int = 8000, max_batch: int = 8):
     else:
         params = detector.init_params(jax.random.PRNGKey(0))
         print("WARNING: serving a fresh random init (no --weights)", flush=True)
-    service = DetectionService(detector, params, max_batch=max_batch).start()
+    service = DetectionService(
+        detector, params, max_batch=max_batch, max_clip=max_clip
+    ).start()
     print("compiling serving programs...", flush=True)
     service.warmup()
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
@@ -465,5 +607,9 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=8,
                     help="cross-stream micro-batch cap (power of two)")
+    ap.add_argument("--max-clip", type=int, default=8,
+                    help="largest compiled clip-chunk size (power of two); "
+                         "1 disables clip programs")
     args = ap.parse_args()
-    serve(load_config(args.config), args.weights, args.port, args.max_batch)
+    serve(load_config(args.config), args.weights, args.port, args.max_batch,
+          args.max_clip)

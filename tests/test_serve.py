@@ -30,7 +30,7 @@ def service():
     detector = Detector.from_config(cfg)
     params = detector.init_params(jax.random.PRNGKey(0))
     svc = DetectionService(detector, params, conf=0.0, max_det=8,
-                           max_streams=2).start()
+                           max_streams=2, max_clip=4).start()
     svc.warmup()
     yield svc
     svc.stop()
@@ -60,6 +60,33 @@ def test_reset_drops_state(service):
     before = service.num_streams
     service.reset("tmp")
     assert service.num_streams == before - 1
+
+
+def test_clip_equals_sequential(service):
+    """A clip request (chained chunk programs, all_steps decode) must
+    return per-frame detections identical to frame-by-frame requests, and
+    leave the stream's state advanced by the whole clip."""
+    clip = np.stack([_frame(20 + i) for i in range(5)])  # 5 -> chunks 4+1
+
+    seq = [service.detect("clip_seq", clip[i]) for i in range(5)]
+    out = service.detect_clip("clip_par", clip)
+
+    assert len(out["frames"]) == 5 and out["chunks"] == 2
+    for a, b in zip(out["frames"], seq):
+        assert a["scores"] == pytest.approx(b["scores"], abs=1e-3)
+    # Both streams now hold the same post-clip state.
+    after_seq = service.detect("clip_seq", clip[0])
+    after_par = service.detect("clip_par", clip[0])
+    assert after_par["scores"] == pytest.approx(after_seq["scores"], abs=1e-3)
+    service.reset("clip_seq")
+    service.reset("clip_par")
+
+    with pytest.raises(ValueError, match="clip"):
+        service.detect_clip("bad", np.zeros((2, 32, 32, 3), np.uint8))
+
+    one = service.detect_clip("clip_one", clip[:1])
+    assert len(one["frames"]) == 1
+    service.reset("clip_one")
 
 
 def test_lru_bounds_streams(service):
@@ -102,6 +129,22 @@ def test_http_end_to_end(service):
         with urllib.request.urlopen(req, timeout=60) as r:
             out = json.loads(r.read())
         assert "boxes" in out and "latency_ms" in out
+
+        # Clip request: consecutive frames in one POST -> per-frame results.
+        pngs = []
+        for i in range(2):
+            ok, p = cv2.imencode(".png", _frame(30 + i)[:, :, ::-1])
+            assert ok
+            pngs.append(base64.b64encode(p.tobytes()).decode())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect",
+            data=json.dumps({"stream": "http0", "images": pngs}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["frames"]) == 2
+        assert "boxes" in out["frames"][0]
 
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/reset",

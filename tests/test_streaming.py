@@ -51,6 +51,48 @@ def test_window_equals_streaming(det_and_params, bottleneck):
         )
 
 
+@pytest.mark.parametrize("bottleneck", ["convlstm", "lif", "lstm"])
+def test_all_steps_equals_streaming(bottleneck):
+    """Chunked streaming (all_steps=True): ONE T-frame call must emit the
+    SAME per-frame detection maps as T chained single-frame calls, and the
+    same final recurrent state — per-step decoding is a pure batching
+    transformation, not a math change."""
+    cfg = Config()
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.bottleneck = bottleneck
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(2))
+
+    t_steps, b = 4, 2
+    rng = np.random.RandomState(5)
+    frames = rng.rand(t_steps, b, 64, 64, 3).astype(np.float32)
+
+    raw_chunk, state_chunk = det.apply(params, frames, all_steps=True)
+    # (T*B, h, w, c) time-major -> per-step maps
+    per_step = [
+        tuple(r[t * b : (t + 1) * b] for r in raw_chunk)
+        for t in range(t_steps)
+    ]
+
+    state = None
+    for t in range(t_steps):
+        raw_stream, state = det.apply(params, frames[t : t + 1], state)
+        for a, bb in zip(per_step[t], raw_stream):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-4
+            )
+    for a, bb in zip(
+        jax.tree.leaves(state_chunk), jax.tree.leaves(state)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_spike_rates_observability(det_and_params):
     det, params = det_and_params
     rng = np.random.RandomState(1)
