@@ -447,6 +447,10 @@ def measure_streaming(n_frames: int = 200) -> dict:
     ]
     rec_state = None
     out, rec_state = predict_chunk(params, chunks[0], rec_state)  # compile
+    # Second warm call: rec_state=None and a concrete state pytree are
+    # DIFFERENT jit signatures — without this the timed loop's first
+    # iteration retraces/compiles inside the timing window.
+    out, rec_state = predict_chunk(params, chunks[1], rec_state)
     jax.device_get(out["scores"][0, 0])
     t0 = time.perf_counter()
     for i in range(n_frames // chunk):

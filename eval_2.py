@@ -46,12 +46,20 @@ def evaluate(cfg, weights: str | None = None) -> dict:
 
     # Multi-chip eval: shard val batches over the configured mesh (batch
     # over `data`; image height over `spatial` on a 2-D mesh). Single
-    # device keeps the plain single-device jit.
+    # device keeps the plain single-device jit; so does the Pallas LIF
+    # path (the SPMD partitioner cannot split its custom call — fall back
+    # rather than fail a run that worked single-device).
     mesh = None
     if jax.device_count() > 1 or cfg.mesh.spatial > 1:
-        from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+        if cfg.runtime.lif_kernel == "pallas":
+            print(
+                "NOTE: runtime.lif_kernel=pallas is not partitionable; "
+                "evaluating on a single device."
+            )
+        else:
+            from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
+            mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
     return evaluate_model(cfg, detector, params, mesh=mesh)
 
 

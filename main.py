@@ -34,6 +34,7 @@ from snn_object_detectionddp_tpu.parallel.mesh import (
     host_shard_indices,
     local_batch_size,
     make_mesh,
+    pad_batch_to_devices,
 )
 from snn_object_detectionddp_tpu.train.checkpoint import (
     load_checkpoint,
@@ -64,7 +65,7 @@ def train_code(cfg, detector: Detector) -> None:
     n_dev = data_axis_size(mesh)
     bs = cfg.training.batch_size
     if bs % n_dev:
-        bs = -(-bs // n_dev) * n_dev
+        bs = pad_batch_to_devices(bs, n_dev)
         print(f"Rounding batch_size up to {bs} (multiple of {n_dev} devices)")
     # Multi-host: each process's loader feeds its LOCAL slice of the global
     # batch; shard_batch assembles them into the global array (mesh.py).

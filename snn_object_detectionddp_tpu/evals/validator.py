@@ -94,11 +94,13 @@ def evaluate_model(
 
     bs = batch_size or cfg.training.batch_size
     if mesh is not None:
-        from ..parallel.mesh import data_axis_size, replicate_sharding
+        from ..parallel.mesh import (
+            data_axis_size,
+            pad_batch_to_devices,
+            replicate_sharding,
+        )
 
-        n_dev = data_axis_size(mesh)
-        if bs % n_dev:
-            bs = -(-bs // n_dev) * n_dev
+        bs = pad_batch_to_devices(bs, data_axis_size(mesh))
         # Replicate once up front: checkpoint-restored params are host
         # numpy, and an uncommitted array would otherwise re-upload per
         # call; a default-device-committed one would error under

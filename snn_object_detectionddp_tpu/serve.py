@@ -131,6 +131,11 @@ class DetectionService:
             self.clip_sizes.append(k)
             k *= 2
         self.max_clip = max_clip
+        # Request-size bound: a clip occupies the single serial worker for
+        # ceil(T / max_clip) dispatches, so an unbounded T would let one
+        # oversized POST starve every other stream past reply_timeout_s
+        # (the same monopolization the per-stream deferral cap prevents).
+        self.max_clip_frames = max(8 * max_clip, 8)
 
         @jax.jit
         def predict_clip(params, images_u8, rec_state):
@@ -236,9 +241,18 @@ class DetectionService:
             raise ValueError(
                 f"expected (T, {h}, {w}, 3) uint8 clip, got {clip_u8.shape}"
             )
+        if clip_u8.shape[0] > self.max_clip_frames:
+            raise ValueError(
+                f"clip too long ({clip_u8.shape[0]} > {self.max_clip_frames} "
+                "frames); split it across requests (state carries over)"
+            )
         if clip_u8.shape[0] == 1:
             out = self.detect(stream, clip_u8[0])
-            return {"frames": [out], "latency_ms": out["latency_ms"]}
+            return {
+                "frames": [{k: out[k] for k in ("boxes", "scores", "classes")}],
+                "latency_ms": out["latency_ms"],
+                "chunks": 1,
+            }
         return self._submit(_Job(stream, clip_u8, clip=True))
 
     def _submit(self, job: _Job) -> dict:
@@ -447,6 +461,14 @@ class DetectionService:
 
         t_total = job.image_u8.shape[0]
         with self._state_lock:
+            # Same dead-stream generation-counter prune as the batch path
+            # (see _run): clip-only traffic must not grow _gen unboundedly.
+            for s in [
+                s
+                for s in self._gen
+                if s not in self._states and s != job.stream
+            ]:
+                del self._gen[s]
             st = self._states.get(job.stream)
             gen0 = self._gen.get(job.stream, 0)
         state = st if st is not None else self._zero_state1

@@ -85,8 +85,16 @@ def test_clip_equals_sequential(service):
         service.detect_clip("bad", np.zeros((2, 32, 32, 3), np.uint8))
 
     one = service.detect_clip("clip_one", clip[:1])
-    assert len(one["frames"]) == 1
+    assert len(one["frames"]) == 1 and one["chunks"] == 1
+    assert set(one["frames"][0]) == {"boxes", "scores", "classes"}
     service.reset("clip_one")
+
+    # Request-size bound: one oversized clip must not monopolize the worker.
+    with pytest.raises(ValueError, match="clip too long"):
+        service.detect_clip(
+            "clip_big",
+            np.zeros((service.max_clip_frames + 1, 64, 64, 3), np.uint8),
+        )
 
 
 def test_lru_bounds_streams(service):
