@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import constrain_folded
+
 
 class ConvLSTM2d(nn.Module):
     """Scan a ConvLSTM over a (T, B, H, W, C) time-major input.
@@ -84,7 +86,11 @@ class ConvLSTM2d(nn.Module):
         # scan. Same parameter tensor, same math up to one extra bf16
         # rounding at the gate sum.
         t = x_t.shape[0]
-        xb = x_t.reshape((t * b, h, w, in_ch)).astype(compute_dtype)
+        # constrain_folded: sharding pin required for correct kernel grads
+        # under a GSPMD spatial mesh (parallel.mesh.fold_sharding).
+        xb = constrain_folded(
+            x_t.reshape((t * b, h, w, in_ch)).astype(compute_dtype)
+        )
         x_gates = _conv(xb, kernel[:, :, :in_ch].astype(compute_dtype))
         x_gates = x_gates.reshape((t, b, h, w, 4 * self.hidden))
         k_h = kernel[:, :, in_ch:].astype(compute_dtype)

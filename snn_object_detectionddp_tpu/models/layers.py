@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import constrain_folded, constrain_tb, constrain_tbc
 from .lif import LIFParams, run_affine_lif_tb
 
 
@@ -73,7 +74,13 @@ class SpikingConvBlock(nn.Module):
         with_readouts: bool = False,
     ):
         t, b = x_t.shape[:2]
-        x = x_t.reshape((t * b,) + x_t.shape[2:]).astype(self.dtype)
+        # constrain_folded: under a GSPMD data x spatial mesh this reshape
+        # MUST carry an explicit sharding — the partitioner otherwise
+        # double-counts the conv kernel gradient (see
+        # parallel.mesh.fold_sharding). No-op everywhere else.
+        x = constrain_folded(
+            x_t.reshape((t * b,) + x_t.shape[2:]).astype(self.dtype)
+        )
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -116,8 +123,8 @@ class SpikingConvBlock(nn.Module):
         rstd = jax.lax.rsqrt(var + 1e-6)
         gamma = self.param("gn_scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("gn_bias", nn.initializers.zeros, (c,), jnp.float32)
-        mean_c = jnp.repeat(mean, cg, axis=1).reshape(t, b, c)
-        rstd_c = jnp.repeat(rstd, cg, axis=1).reshape(t, b, c)
+        mean_c = constrain_tbc(jnp.repeat(mean, cg, axis=1).reshape(t, b, c))
+        rstd_c = constrain_tbc(jnp.repeat(rstd, cg, axis=1).reshape(t, b, c))
         a = rstd_c * gamma
         bias = beta - mean_c * rstd_c * gamma
         # Stay in the conv's 4D (T*B, H, W, C) shape through the LIF stage:
@@ -133,7 +140,7 @@ class SpikingConvBlock(nn.Module):
             )
         else:
             spikes4, v_final = run_affine_lif_tb(x, a, bias, self.lif, v0)
-        spikes = spikes4.reshape((t, b) + spikes4.shape[1:])
+        spikes = constrain_tb(spikes4.reshape((t, b) + spikes4.shape[1:]))
         # SNN observability: mean firing rate, materialized only when the
         # caller requests the 'intermediates' collection (XLA drops it
         # otherwise). See Detector.spike_rates.

@@ -26,6 +26,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import constrain_folded
 from .convlstm import ConvLSTM2d
 from .layers import (
     ConvBlock,
@@ -117,7 +118,9 @@ class TemporalUNet(nn.Module):
             # Fold T into the batch axis: the decoder convs run one big
             # (T*B) MXU batch — per-step maps at batched efficiency.
             if self.bottleneck in ("convlstm", "lstm"):
-                bott = bott_seq.reshape((t * b,) + bott_seq.shape[2:])
+                bott = constrain_folded(
+                    bott_seq.reshape((t * b,) + bott_seq.shape[2:])
+                )
             else:
                 bott = rb[0]  # already (T*B, h, w, c4)
             skip3, skip2, skip1 = (

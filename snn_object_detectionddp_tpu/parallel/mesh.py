@@ -14,6 +14,8 @@ CPU-testable via ``XLA_FLAGS=--xla_force_host_platform_device_count=N``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
@@ -252,3 +254,87 @@ def host_shard_indices(indices: list[int]) -> list[int]:
         shard.append(base[j % len(base)])
         j += 1
     return shard
+
+
+# ---------------------------------------------------------------------------
+# GSPMD fold-sharding constraints (spatial-parallel correctness)
+# ---------------------------------------------------------------------------
+
+_FOLD_MESH: Mesh | None = None
+
+
+@contextmanager
+def fold_sharding(mesh: Mesh | None):
+    """Trace-time context: while active, :func:`constrain_folded` pins every
+    (T, B, ...) -> (T*B, ...) folded activation to
+    ``P(DATA_AXIS, SPATIAL_AXIS)``.
+
+    Why this exists — an XLA SPMD partitioner miscompile, not a tuning
+    knob: on a 2-D ``data x spatial`` mesh, the *backward* of a windowed
+    conv whose input came from a dim-merging reshape of (replicated T,
+    data-sharded B) double-counts the kernel gradient by exactly the
+    spatial-axis size (jax 0.9.0, CPU backend; minimal repro: grad of
+    ``sum(conv(x.reshape(T*B, H, W, C), k)**2)`` with x sharded
+    ``P(None, 'data', 'spatial')`` returns 2x the true kernel grad at
+    spatial=2, while the forward, 1x1 convs, and every pre-folded input
+    are exact). Pinning the folded tensor's sharding right after the
+    reshape removes the partitioner's wrong partial-sum bookkeeping — and
+    is also the layout we want anyway (batch rows spread over ``data``,
+    halo convs over ``spatial``).
+
+    The GSPMD step/predict builders (train/step.py, evals/validator.py)
+    enter this context around tracing; the single-device and shard_map
+    paths never do, so their programs carry no constraints. Thread-local
+    safety is not needed: jit tracing of one program is single-threaded.
+    """
+    global _FOLD_MESH
+    prev = _FOLD_MESH
+    _FOLD_MESH = mesh
+    try:
+        yield
+    finally:
+        _FOLD_MESH = prev
+
+
+def constrain_folded(x4):
+    """Pin a folded (T*B, H, W, C) activation to P(data, spatial) when a
+    GSPMD fold mesh is active (see :func:`fold_sharding`); no-op
+    otherwise."""
+    if _FOLD_MESH is None:
+        return x4
+    spec = (
+        P(DATA_AXIS, SPATIAL_AXIS)
+        if SPATIAL_AXIS in _FOLD_MESH.axis_names
+        else P(DATA_AXIS)
+    )
+    return jax.lax.with_sharding_constraint(x4, NamedSharding(_FOLD_MESH, spec))
+
+
+def constrain_tbc(x3):
+    """Pin a per-(timestep, sample, channel) tensor (T, B, C) — e.g. the
+    folded GroupNorm statistics — to P(None, data) when a GSPMD fold mesh
+    is active; no-op otherwise. The (T*B, G) -> (T, B, C) stats reshapes
+    re-split the data-sharded folded axis and need the same explicit pin
+    as the activations (see :func:`fold_sharding`)."""
+    if _FOLD_MESH is None:
+        return x3
+    return jax.lax.with_sharding_constraint(
+        x3, NamedSharding(_FOLD_MESH, P(None, DATA_AXIS))
+    )
+
+
+def constrain_tb(x5):
+    """Pin a time-major (T, B, H, W, C) activation to
+    P(None, data, spatial) when a GSPMD fold mesh is active; no-op
+    otherwise. Applied at spiking-block boundaries so every inter-block
+    tensor carries an explicit sharding — the partitioner's inferred
+    shardings around the fold/unfold reshapes are exactly where its
+    conv-gradient bookkeeping goes wrong (see :func:`fold_sharding`)."""
+    if _FOLD_MESH is None:
+        return x5
+    spec = (
+        P(None, DATA_AXIS, SPATIAL_AXIS)
+        if SPATIAL_AXIS in _FOLD_MESH.axis_names
+        else P(None, DATA_AXIS)
+    )
+    return jax.lax.with_sharding_constraint(x5, NamedSharding(_FOLD_MESH, spec))

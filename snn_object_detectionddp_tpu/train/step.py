@@ -298,32 +298,83 @@ def make_step_fns(
         # all-reduces gradients where sharded activations meet replicated
         # params. No shard_map, no explicit collectives, and the math IS
         # the single-device math by construction (GSPMD is
-        # semantics-preserving) — tests/test_spatial.py asserts step-for-
-        # step equivalence anyway. Requires the pure-XLA LIF path: the
-        # partitioner cannot split an opaque tpu_custom_call, so the Pallas
-        # kernels are rejected here (the layout-preserving unrolled path is
-        # the fastest anyway — see models/lif.py::set_lif_impl).
-        from functools import partial
-
+        # semantics-preserving up to reduction order) — with one exception
+        # that must be handled explicitly: the partitioner double-counts
+        # windowed-conv kernel gradients when the conv input comes from a
+        # (T, B) -> (T*B) dim-merging reshape on this 2-D mesh, so tracing
+        # runs under parallel.mesh.fold_sharding, which makes every model
+        # fold pin its sharding (constrain_folded). tests/test_spatial.py
+        # asserts loss AND gradient equivalence step-for-step. Requires
+        # the pure-XLA LIF path: the partitioner cannot split an opaque
+        # tpu_custom_call, so the Pallas kernels are rejected here (the
+        # layout-preserving unrolled path is the fastest anyway — see
+        # models/lif.py::set_lif_impl).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import batch_specs
+        from ..parallel.mesh import batch_specs, fold_sharding
 
         if cfg.runtime.lif_kernel == "pallas":
             raise ValueError(
                 "mesh.spatial > 1 requires a partitionable LIF "
                 "(runtime.lif_kernel auto|unrolled|xla, not pallas)"
             )
+        if not remat_chunk:
+            # Hard requirement, not a preference: without jax.checkpoint
+            # the SPMD partitioner mis-shards the residuals crossing the
+            # forward->backward boundary and windowed-conv kernel
+            # gradients come back inflated (up to ~2x per conv at the
+            # deep, small-H stages; measured on jax 0.9.0 — minimal repro
+            # in scripts/repro_gspmd_convgrad.py). Chunked remat
+            # recomputes the forward inside the backward, removing those
+            # residuals entirely; the resulting gradient is
+            # finite-difference-validated against the single-device step
+            # (tests/test_spatial.py). Eval/inference (forward-only) is
+            # unaffected and carries no such requirement.
+            raise ValueError(
+                "spatial-parallel TRAINING (mesh.spatial > 1) requires "
+                "chunked BPTT remat: set training.remat_chunk >= 1 "
+                "(XLA SPMD conv-gradient miscompile without it; see "
+                "scripts/repro_gspmd_convgrad.py and docs/PARALLELISM.md)"
+            )
         rep = NamedSharding(mesh, P())
         batch_sh = batch_specs(mesh)
+
+        # The `with` runs at TRACE time (jit re-executes the Python body on
+        # every trace), so the fold constraints are captured only in these
+        # two programs, never in the single-device/shard_map ones.
+        def _train_step_spmd(state, batch):
+            # Trace-time geometry check: every feature scale (stride 2..32)
+            # must shard its H axis evenly. With padding shards at the deep
+            # scales the SPMD partitioner falls into "involuntary full
+            # rematerialization" replicate-repartition paths whose
+            # conv-gradient transpose is miscompiled even under remat
+            # (measured: spatial=4 on H=64 inputs is ~11% off the true
+            # directional derivative, while H=128 — divisible at every
+            # scale — agrees to ~1%; scripts/repro_gspmd_convgrad.py).
+            sp = mesh.shape["spatial"]
+            img_h = batch["images"].shape[2]  # (B, T, H, W, C)
+            if img_h % (32 * sp):
+                raise ValueError(
+                    f"image height {img_h} must be divisible by "
+                    f"32*mesh.spatial={32 * sp} for spatial-parallel "
+                    "training (every stride-2..32 feature scale must "
+                    "shard evenly; docs/PARALLELISM.md)"
+                )
+            with fold_sharding(mesh):
+                return _train_step(state, batch, axis=None)
+
+        def _eval_step_spmd(params, batch):
+            with fold_sharding(mesh):
+                return _eval_step(params, batch, axis=None)
+
         train_step = jax.jit(
-            partial(_train_step, axis=None),
+            _train_step_spmd,
             in_shardings=(rep, batch_sh),
             out_shardings=(rep, rep),
             donate_argnums=0,
         )
         eval_step = jax.jit(
-            partial(_eval_step, axis=None),
+            _eval_step_spmd,
             in_shardings=(rep, batch_sh),
             out_shardings=rep,
         )
