@@ -72,16 +72,25 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
             "mesh-sharded eval requires a partitionable LIF "
             "(runtime.lif_kernel auto|unrolled|xla, not pallas)"
         )
-    from ..parallel.mesh import batch_specs, fold_sharding, replicate_sharding
+    from ..parallel.mesh import (
+        SPATIAL_AXIS,
+        batch_specs,
+        fold_sharding,
+        replicate_sharding,
+    )
 
     rep = replicate_sharding(mesh)
     img_sh = batch_specs(mesh)["images"]
+    # fold_sharding pins only matter (and only help) when a spatial axis
+    # splits activations; on a plain 1-D data mesh they would force a
+    # t-interleaved re-partitioning of every fold for nothing.
+    fold_mesh = mesh if SPATIAL_AXIS in mesh.axis_names else None
 
     def predict_spmd(params, images_u8):
         # fold_sharding: pin the (T,B)->(T*B) fold shardings at trace time
         # (forward-only here, but keeps the partitioning well-defined and
         # matches the train-path programs — parallel.mesh.fold_sharding).
-        with fold_sharding(mesh):
+        with fold_sharding(fold_mesh):
             return predict(params, images_u8)
 
     return jax.jit(predict_spmd, in_shardings=(rep, img_sh), out_shardings=rep)

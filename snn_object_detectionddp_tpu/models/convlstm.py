@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..parallel.mesh import constrain_folded
+from ..parallel.mesh import constrain_folded, constrain_tb
 
 
 class ConvLSTM2d(nn.Module):
@@ -92,7 +92,9 @@ class ConvLSTM2d(nn.Module):
             x_t.reshape((t * b, h, w, in_ch)).astype(compute_dtype)
         )
         x_gates = _conv(xb, kernel[:, :, :in_ch].astype(compute_dtype))
-        x_gates = x_gates.reshape((t, b, h, w, 4 * self.hidden))
+        x_gates = constrain_tb(
+            x_gates.reshape((t, b, h, w, 4 * self.hidden))
+        )
         k_h = kernel[:, :, in_ch:].astype(compute_dtype)
 
         def step(carry, xg):

@@ -286,13 +286,21 @@ def run_affine_lif_tb(
     if impl == "unrolled":
         return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
     t_steps, bsz = a.shape[0], a.shape[1]
-    x5 = x4.reshape((t_steps, bsz) + x4.shape[1:])
+    # Fold/unfold reshapes under a GSPMD spatial mesh carry explicit
+    # sharding pins (no-ops otherwise) — see parallel.mesh.fold_sharding.
+    from ..parallel.mesh import constrain_folded, constrain_tb
+
+    x5 = constrain_tb(x4.reshape((t_steps, bsz) + x4.shape[1:]))
     out = run_affine_lif(x5, a, b, p, v0, with_readouts)
     if with_readouts:
         spikes, v_fin, reads = out
-        return spikes.reshape(x4.shape), v_fin, reads.reshape(x4.shape)
+        return (
+            constrain_folded(spikes.reshape(x4.shape)),
+            v_fin,
+            constrain_folded(reads.reshape(x4.shape)),
+        )
     spikes, v_fin = out
-    return spikes.reshape(x4.shape), v_fin
+    return constrain_folded(spikes.reshape(x4.shape)), v_fin
 
 
 def run_affine_lif(

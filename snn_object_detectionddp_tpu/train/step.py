@@ -356,12 +356,21 @@ def make_step_fns(
             # gradient to ~1%, as do all evenly-divisible geometries).
             sp = mesh.shape["spatial"]
             img_h = batch["images"].shape[2]  # (B, T, H, W, C)
-            if img_h // 32 < sp:
+            # SAME-padded stride-2 stages take ceil at every halving, and
+            # iterated ceil-halving equals one ceil-division by 32.
+            rows = -(-img_h // 32)
+            # GSPMD shards a dim in ceil(rows/sp) blocks, so the LAST
+            # shard is all padding whenever the first sp-1 blocks already
+            # cover every real row — true for many non-divisor sp that a
+            # naive rows >= sp check would admit (e.g. 15 rows, sp=6:
+            # blocks of 3, shard 5 is 100% padding).
+            if -(-rows // sp) * (sp - 1) >= rows:
                 raise ValueError(
-                    f"mesh.spatial={sp} exceeds the deepest feature "
-                    f"scale's {img_h // 32} rows (image height {img_h}, "
-                    "stride 32): zero-real-row shards miscompile conv "
-                    "gradients (docs/PARALLELISM.md)"
+                    f"mesh.spatial={sp} leaves all-padding shards at the "
+                    f"deepest feature scale ({rows} rows at stride 32, "
+                    f"GSPMD block size {-(-rows // sp)}): zero-real-row "
+                    "shards miscompile conv gradients "
+                    "(docs/PARALLELISM.md)"
                 )
             with fold_sharding(mesh):
                 return _train_step(state, batch, axis=None)

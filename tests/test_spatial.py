@@ -181,6 +181,39 @@ def test_spatial_train_requires_remat(setup):
         make_step_fns(det, tx, schedule, mesh=mesh)
 
 
+def test_spatial_mild_padding_matches_single_device(setup):
+    """Uneven spatial shards with >=1 real row each (here H=96: the
+    stride-32 scale has 3 rows over spatial=2, so one shard carries a
+    GSPMD padding row) are allowed and must stay consistent with the
+    single-device step — this is the measurement that justified relaxing
+    the geometry gate from strict divisibility to the zero-real-row rule.
+    Tolerances are looser than the divisible-geometry test: padding
+    changes reduction association more, and near-threshold spike flips
+    move a few gradient leaves O(1) while both gradients remain valid
+    surrogate descent directions (see docs/PARALLELISM.md)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    fns_a = make_step_fns(det, tx, schedule, remat_chunk=1)
+    fns_b = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
+
+    params = det.init_params(jax.random.PRNGKey(21))
+    batch = _batch(np.random.RandomState(9), b=4, h=96)
+
+    state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    _, m_a = fns_a.train_step(state_a, batch)
+    _, m_b = fns_b.train_step(state_b, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-2)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=5e-2
+    )
+
+
 def test_spatial_train_rejects_oversharded_height(setup):
     """A spatial axis larger than the deepest feature scale's row count is
     rejected at trace time: zero-real-row (all-padding) shards push the
