@@ -26,3 +26,27 @@ while true; do
   [ "$ATTEMPTS" -ge 5 ] && { echo "[launcher] giving up after 5 attempts" | tee -a "$LOG"; break; }
   sleep 30
 done
+
+# Post-training (unattended): flagship mAP on the demo checkpoint, then the
+# round's bench refresh (headline + streaming incl. the chunk4 row). Each
+# guarded by a relay check and a timeout so a mid-run relay death cannot
+# hang the launcher. Device lock serializes these — keep them sequential.
+if [ -f runs/flagship_demo/exp/best.pt ]; then
+  if relay_up; then
+    echo "[launcher $(date -u +%FT%TZ)] running eval_2 on flagship best.pt" | tee -a "$LOG"
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 5400 \
+      python eval_2.py --config scripts/flagship_demo.yaml \
+      > runs/flagship_demo/eval2.log 2>&1
+    echo "[launcher $(date -u +%FT%TZ)] eval_2 rc=$? (runs/flagship_demo/eval2.log)" | tee -a "$LOG"
+  fi
+  if relay_up; then
+    echo "[launcher $(date -u +%FT%TZ)] running bench refresh" | tee -a "$LOG"
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
+      python bench.py > runs/flagship_demo/bench_headline.json 2> runs/flagship_demo/bench_headline.log
+    echo "[launcher $(date -u +%FT%TZ)] bench rc=$?" | tee -a "$LOG"
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
+      python bench.py --streaming > runs/flagship_demo/bench_streaming.json 2> runs/flagship_demo/bench_streaming.log
+    echo "[launcher $(date -u +%FT%TZ)] bench --streaming rc=$?" | tee -a "$LOG"
+  fi
+fi
+echo "[launcher $(date -u +%FT%TZ)] all done" | tee -a "$LOG"
