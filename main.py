@@ -119,6 +119,7 @@ def train_code(cfg, detector: Detector) -> None:
         detector, tx, schedule, mesh=mesh, remat=cfg.training.remat,
         remat_chunk=cfg.training.remat_chunk or None,
         grad_accum=cfg.training.grad_accum_steps or 1,
+        fsdp=cfg.mesh.fsdp,
     )
 
     rng = jax.random.PRNGKey(cfg.training.seed)
@@ -131,6 +132,16 @@ def train_code(cfg, detector: Detector) -> None:
         template_state,
         init_fn=lambda: init_state(detector.init_params(rng), tx, schedule),
     )
+    if cfg.mesh.fsdp:
+        # Start sharded (1/data of every weight + moment per device) rather
+        # than letting the first step reshard from a single device — at
+        # large model scale the unsharded state may not even fit one chip.
+        from snn_object_detectionddp_tpu.parallel.mesh import (
+            place_state,
+            state_shardings,
+        )
+
+        state = place_state(state, state_shardings(mesh, state, fsdp=True))
 
     train_loop(
         state, fns, schedule, train_loader, val_loader, cfg, save_dir,

@@ -128,6 +128,12 @@ class MeshConfig:
     # (runtime.lif_kernel auto/unrolled/xla) — the SPMD partitioner cannot
     # split a Pallas custom call. mesh = data x spatial devices.
     spatial: int = 1
+    # FSDP/ZeRO: shard parameters + AdamW moments over the data axis
+    # (each device holds 1/data of every weight; XLA derives the per-layer
+    # all-gathers and the gradient reduce-scatter from the shardings).
+    # Uses the GSPMD sharding-annotation step, so like spatial it requires
+    # a partitionable LIF path (not "pallas").
+    fsdp: bool = False
     # --- multi-host (DCN) launch keys; None = single host. Env-var
     # fallbacks COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID let one
     # shared config.yaml drive every host of a pod slice

@@ -257,6 +257,62 @@ def host_shard_indices(indices: list[int]) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# FSDP-style parameter/optimizer sharding (ZeRO over the data axis)
+# ---------------------------------------------------------------------------
+
+
+def fsdp_spec(shape: tuple, n: int) -> P:
+    """Partition spec for one parameter/optimizer leaf under FSDP: shard the
+    LARGEST dimension divisible by the data-axis size ``n`` (ties break to
+    the trailing dim — channels-last, so conv HWIO kernels shard their
+    out-channel axis); leaves with no divisible dim stay replicated.
+
+    One uniform rule for every array in the train state keeps params and
+    their AdamW moments (same shapes) on identical shardings, so the
+    optimizer update is fully local — the classic ZeRO layout: each device
+    owns 1/n of every weight, its moments, and its slice of the update."""
+    if n <= 1 or not shape:
+        return P()
+    best = -1
+    for i, d in enumerate(shape):
+        if d % n == 0 and (best < 0 or d >= shape[best]):
+            best = i
+    if best < 0:
+        return P()
+    return P(*([None] * best + [DATA_AXIS]))
+
+
+def state_shardings(mesh: Mesh, state_template, fsdp: bool = False):
+    """NamedShardings for a full train state (params/opt_state/step/sched).
+
+    ``fsdp=False``: everything replicated (the plain GSPMD spatial path).
+    ``fsdp=True``: every array leaf sharded per :func:`fsdp_spec` over the
+    ``data`` axis — parameters, AdamW moments, and their updates are then
+    1/data-size per device, and XLA turns the gradient all-reduce into a
+    reduce-scatter + the forward's parameter use into per-layer all-gathers
+    (ZeRO-3 semantics, derived entirely from shardings; SURVEY §2.5 — the
+    reference's DDP has no equivalent, torch FSDP is the analog)."""
+    n = mesh.shape[DATA_AXIS]
+
+    def rule(leaf):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        spec = fsdp_spec(shape, n) if fsdp else P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree.map(rule, state_template)
+
+
+def place_state(state, shardings):
+    """Place a (host or single-device) train state onto the mesh with the
+    given shardings — one transfer per leaf, so a resumed/initialized state
+    starts sharded instead of being resharded from device 0 inside the
+    first step (which would momentarily hold the full state on one chip)."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, shardings
+    )
+
+
+# ---------------------------------------------------------------------------
 # GSPMD fold-sharding constraints (spatial-parallel correctness)
 # ---------------------------------------------------------------------------
 
@@ -320,6 +376,65 @@ def constrain_tbc(x3):
         return x3
     return jax.lax.with_sharding_constraint(
         x3, NamedSharding(_FOLD_MESH, P(None, DATA_AXIS))
+    )
+
+
+def constrain_micro(micro: dict) -> dict:
+    """Pin the shardings of a gradient-accumulation microbatch stack when a
+    GSPMD fold mesh is active; no-op otherwise.
+
+    Accumulation reshapes every batch tensor (B, ...) -> (k, B/k, ...),
+    SPLITTING the data-sharded batch axis — exactly the reshape family
+    whose inferred shardings send the SPMD partitioner's conv-gradient
+    bookkeeping wrong (see :func:`fold_sharding`). Each microbatch keeps
+    the batch sharding with the microbatch-step axis replicated: images
+    (k, B/k, T, H, W, C) -> P(None, data, None, spatial); per-sample
+    tensors -> P(None, data). Note the microbatch grouping stays
+    CONTIGUOUS (micro j = samples [j*B/k, (j+1)*B/k)) on every path — the
+    loss normalizes by the microbatch's own target_scores_sum, so grouping
+    is semantics, not layout, and must match the single-device step. The
+    FSDP-specific gradient inflation needs :func:`constrain_params_rep` on
+    top of these pins (these alone did not fix it)."""
+    if _FOLD_MESH is None:
+        return micro
+    has_sp = SPATIAL_AXIS in _FOLD_MESH.axis_names
+
+    def pin(v):
+        if v.ndim == 6 and has_sp:  # (k, B/k, T, H, W, C) image stack
+            spec = P(None, DATA_AXIS, None, SPATIAL_AXIS)
+        else:
+            spec = P(None, DATA_AXIS)
+        return jax.lax.with_sharding_constraint(
+            v, NamedSharding(_FOLD_MESH, spec)
+        )
+
+    return {k: pin(v) for k, v in micro.items()}
+
+
+def constrain_params_rep(tree):
+    """Pin every parameter leaf replicated when a 2-D (data x spatial) fold
+    mesh is active; no-op on 1-D meshes and outside a fold trace.
+
+    Miscompile defense, same family as :func:`fold_sharding`: FSDP-sharded
+    weights feeding the spatially-sharded halo convs send the partitioner's
+    windowed-conv kernel-gradient bookkeeping wrong on a data x spatial
+    mesh — grad_norm inflates 1.5x at spatial=2 (2.9x with grad
+    accumulation on top) with a bit-exact loss, even with every activation
+    pin in place, and pinning the gradient OUTPUTS does not help (the wrong
+    partial sums happen upstream; measured, jax 0.9.0 CPU —
+    tests/test_fsdp.py). Applying this pin at the top of the train step
+    all-gathers the weights ONCE per step, so the whole forward/backward
+    compiles exactly like the known-good non-FSDP spatial program, while
+    the train state itself (params + AdamW moments) stays stored sharded —
+    i.e. the 2-D mesh runs ZeRO-1/2 semantics (sharded state, gathered
+    compute weights) instead of ZeRO-3. The 1-D FSDP mesh is measured
+    exact, so no pin applies there and it keeps true per-layer-gather /
+    reduce-scatter ZeRO-3 semantics."""
+    if _FOLD_MESH is None or SPATIAL_AXIS not in _FOLD_MESH.axis_names:
+        return tree
+    rep = NamedSharding(_FOLD_MESH, P())
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep), tree
     )
 
 

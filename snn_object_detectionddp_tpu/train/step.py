@@ -86,11 +86,20 @@ def make_step_fns(
     remat: bool = False,
     remat_chunk: int | None = None,
     grad_accum: int = 1,
+    fsdp: bool = False,
 ) -> TrainStepFns:
     """Build jitted step functions bound to a Detector + optimizer.
 
     ``mesh``: optional 1-D data mesh; when given, steps are compiled with
     replicated state and batch-sharded inputs (DP over ICI).
+
+    ``fsdp``: ZeRO-style parameter/optimizer sharding over the ``data``
+    axis — every param and AdamW-moment leaf lives 1/data per device
+    (``parallel/mesh.py::state_shardings``), XLA turns the gradient
+    all-reduce into a reduce-scatter and all-gathers weights per layer in
+    the forward. Pure sharding-annotation change: the step math is
+    untouched and equivalence vs the single-device step is tested
+    (tests/test_fsdp.py). Requires a partitionable LIF (not Pallas).
 
     ``grad_accum``: gradient accumulation — the batch is split into this
     many sequential microbatches inside one jitted step (lax.scan);
@@ -201,7 +210,15 @@ def make_step_fns(
         return grads, lc
 
     def _train_step(state, batch, axis=None):
-        params = state["params"]
+        from ..parallel.mesh import constrain_params_rep
+
+        # 2-D fold meshes + FSDP: the fwd/bwd must consume REPLICATED
+        # weights (one all-gather here) — FSDP-sharded weights feeding the
+        # spatial halo convs miscompile their kernel gradients (ZeRO-1/2
+        # fallback; no-op on 1-D meshes and outside GSPMD traces —
+        # parallel/mesh.py::constrain_params_rep). The optimizer update
+        # below keeps consuming the SHARDED state["params"].
+        params = constrain_params_rep(state["params"])
         if grad_accum > 1:
             k = grad_accum
             b = batch["images"].shape[0]
@@ -213,6 +230,12 @@ def make_step_fns(
                 key: v.reshape((k, b // k) + v.shape[1:])
                 for key, v in batch.items()
             }
+            # GSPMD meshes: the reshape above SPLITS the data-sharded batch
+            # axis; pin each microbatch's sharding explicitly (no-op
+            # outside a fold_sharding trace — parallel/mesh.py).
+            from ..parallel.mesh import constrain_micro
+
+            micro = constrain_micro(micro)
 
             def body(carry, mb):
                 g_acc, l_acc = carry
@@ -290,7 +313,7 @@ def make_step_fns(
     def _forward(params, frames, rec_state=None):
         return detector.module.apply({"params": params}, frames, rec_state)
 
-    if mesh is not None and "spatial" in mesh.axis_names:
+    if mesh is not None and ("spatial" in mesh.axis_names or fsdp):
         # GSPMD path (data x spatial mesh): ONE logical program with
         # sharding-annotated inputs — images shard batch over `data` and
         # image-height over `spatial`; the SPMD partitioner propagates the
@@ -311,14 +334,17 @@ def make_step_fns(
         # models/lif.py::set_lif_impl).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import batch_specs, fold_sharding
+        from ..parallel.mesh import batch_specs, fold_sharding, state_shardings
 
+        spatial = (
+            mesh.shape["spatial"] if "spatial" in mesh.axis_names else 1
+        )
         if cfg.runtime.lif_kernel == "pallas":
             raise ValueError(
-                "mesh.spatial > 1 requires a partitionable LIF "
+                "mesh.spatial > 1 / mesh.fsdp require a partitionable LIF "
                 "(runtime.lif_kernel auto|unrolled|xla, not pallas)"
             )
-        if not remat_chunk:
+        if spatial > 1 and not remat_chunk:
             # Hard requirement, not a preference: without jax.checkpoint
             # the SPMD partitioner mis-shards the residuals crossing the
             # forward->backward boundary and windowed-conv kernel
@@ -338,6 +364,17 @@ def make_step_fns(
             )
         rep = NamedSharding(mesh, P())
         batch_sh = batch_specs(mesh)
+        # Per-leaf state shardings: replicated by default; under FSDP every
+        # param/moment leaf shards 1/data per device (parallel/mesh.py::
+        # state_shardings — ZeRO derived purely from shardings: XLA turns
+        # the gradient all-reduce into a reduce-scatter and inserts
+        # per-layer all-gathers where the forward consumes a sharded
+        # weight). The template is abstract (eval_shape: no device work).
+        state_template = jax.eval_shape(
+            lambda r: init_state(detector.init_params(r), tx, schedule),
+            jax.random.PRNGKey(0),
+        )
+        state_sh = state_shardings(mesh, state_template, fsdp=fsdp)
 
         # The `with` runs at TRACE time (jit re-executes the Python body on
         # every trace), so the fold constraints are captured only in these
@@ -354,7 +391,7 @@ def make_step_fns(
             # mild padding with >=1 real row per shard — H=96/spatial=2,
             # deepest scale 3 over 2 — agrees with the single-device
             # gradient to ~1%, as do all evenly-divisible geometries).
-            sp = mesh.shape["spatial"]
+            sp = spatial
             img_h = batch["images"].shape[2]  # (B, T, H, W, C)
             # SAME-padded stride-2 stages take ceil at every halving, and
             # iterated ceil-halving equals one ceil-division by 32.
@@ -381,13 +418,13 @@ def make_step_fns(
 
         train_step = jax.jit(
             _train_step_spmd,
-            in_shardings=(rep, batch_sh),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, batch_sh),
+            out_shardings=(state_sh, rep),
             donate_argnums=0,
         )
         eval_step = jax.jit(
             _eval_step_spmd,
-            in_shardings=(rep, batch_sh),
+            in_shardings=(state_sh["params"], batch_sh),
             out_shardings=rep,
         )
     elif mesh is not None:
