@@ -44,7 +44,12 @@ def main() -> int:
 
     from snn_object_detectionddp_tpu.config import apply_device, load_config
     from snn_object_detectionddp_tpu.models.detector import Detector
-    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        make_mesh,
+        place_state,
+        shard_batch,
+        state_shardings,
+    )
     from snn_object_detectionddp_tpu.train.step import (
         init_state,
         make_optimizer,
@@ -64,7 +69,8 @@ def main() -> int:
     )
     fns_1 = make_step_fns(detector, tx, schedule, remat_chunk=remat_chunk)
     fns_m = make_step_fns(
-        detector, tx, schedule, mesh=mesh, remat_chunk=remat_chunk
+        detector, tx, schedule, mesh=mesh, remat_chunk=remat_chunk,
+        fsdp=mesh_cfg.fsdp,
     )
 
     h, w = cfg.model.image_size
@@ -84,9 +90,15 @@ def main() -> int:
 
     state_1 = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
     state_m = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+    if mesh_cfg.fsdp:
+        # Start from the production layout: params + moments 1/data per
+        # device (main.py does the same placement under mesh.fsdp).
+        state_m = place_state(
+            state_m, state_shardings(mesh, state_m, fsdp=True)
+        )
     print(
         f"mesh {mesh.shape} | geometry b={b} t={args.t} {h}x{w} | "
-        f"remat_chunk={remat_chunk}",
+        f"remat_chunk={remat_chunk} | fsdp={mesh_cfg.fsdp}",
         flush=True,
     )
     _, m1 = fns_1.train_step(state_1, batch)

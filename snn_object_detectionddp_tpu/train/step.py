@@ -409,6 +409,23 @@ def make_step_fns(
                     "shards miscompile conv gradients "
                     "(docs/PARALLELISM.md)"
                 )
+            # Single-row GSPMD blocks at the deepest scale are also
+            # rejected: a 3x3 conv on 1-row shards needs halo rows from
+            # BOTH neighbors (the kernel is taller than the shard), and
+            # the partitioner's backward deflates the head's kernel
+            # gradients there (measured: H=64/spatial=2 — 2 deepest rows,
+            # 1/shard — grad_norm 28-33% LOW at reg_max=16 with a
+            # bit-exact loss; block>=2 geometries agree to <1%, including
+            # a 1-real-row REMAINDER shard, H=96/spatial=2).
+            if -(-rows // sp) < 2:
+                raise ValueError(
+                    f"mesh.spatial={sp} shards the deepest feature scale "
+                    f"({rows} rows at stride 32) into single-row blocks: "
+                    "conv halos span beyond the immediate neighbor shard "
+                    "and kernel gradients come back deflated "
+                    "(docs/PARALLELISM.md). Use a taller image or a "
+                    "smaller mesh.spatial."
+                )
             with fold_sharding(mesh):
                 return _train_step(state, batch, axis=None)
 

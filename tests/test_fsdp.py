@@ -178,7 +178,8 @@ def test_fsdp_composes_with_spatial_and_accum(setup):
     fns_a = make_step_fns(det, tx, schedule, **kwargs)
     fns_b = make_step_fns(det, tx, schedule, mesh=mesh, fsdp=True, **kwargs)
 
-    batch = _batch(np.random.RandomState(31), b=4)
+    # h=96: single-row deepest-scale blocks are gated off (test_spatial).
+    batch = _batch(np.random.RandomState(31), b=4, h=96)
     state_a = fresh()
     state_b = place_state(
         fresh(), state_shardings(mesh, fresh(), fsdp=True)

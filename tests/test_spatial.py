@@ -106,7 +106,10 @@ def test_spatial_matches_single_device(setup, geom):
     fns_sp = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
 
     params = det.init_params(jax.random.PRNGKey(7))
-    batch = _batch(np.random.RandomState(3), b=max(d, 4))
+    # h=96: the deepest (stride-32) scale must shard in blocks of >= 2
+    # rows (single-row blocks are gated off — their head kernel grads
+    # come back deflated; see test_spatial_train_rejects_single_row_blocks).
+    batch = _batch(np.random.RandomState(3), b=max(d, 4), h=96)
 
     state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
     state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
@@ -152,7 +155,7 @@ def test_spatial_composes_with_accum_and_remat(setup):
     fns_b = make_step_fns(det, tx, schedule, mesh=mesh, **kwargs)
 
     params = det.init_params(jax.random.PRNGKey(13))
-    batch = _batch(np.random.RandomState(8), b=4)
+    batch = _batch(np.random.RandomState(8), b=4, h=96)
 
     state_a = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
     state_b = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
@@ -212,6 +215,30 @@ def test_spatial_mild_padding_matches_single_device(setup):
     np.testing.assert_allclose(
         float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=5e-2
     )
+
+
+def test_spatial_train_rejects_single_row_blocks(setup):
+    """Geometries where the deepest feature scale shards into SINGLE-ROW
+    GSPMD blocks are rejected at trace time: a 3x3 conv there needs halo
+    rows from both neighbor shards (kernel taller than the shard) and the
+    partitioner's backward deflates the head's kernel gradients (measured
+    28-33% low grad_norm at reg_max=16 on H=64/spatial=2 — 2 deepest rows,
+    1 per shard — with a bit-exact loss; scripts/check_mesh_grads.py).
+    Block >= 2 geometries agree to <1%, including a 1-real-row remainder
+    shard (test_spatial_mild_padding_matches_single_device)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    fns = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
+    params = det.init_params(jax.random.PRNGKey(3))
+    batch = _batch(np.random.RandomState(5), b=4)  # h=64: 2 deepest rows
+    state = init_state(params, tx, schedule)
+    with pytest.raises(ValueError, match="single-row"):
+        fns.train_step(state, shard_batch(batch, mesh))
 
 
 def test_spatial_train_rejects_oversharded_height(setup):
