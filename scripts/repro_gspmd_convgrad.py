@@ -31,6 +31,21 @@ train/step.py) and the model pins every (T,B)->(T*B) fold with
 ``parallel.mesh.constrain_folded``; spatial eval/inference is forward-only
 and unaffected. See docs/PARALLELISM.md.
 
+6. COMPOSITE chains make the two defenses inseparable. In a fold ->
+   (3x3 strided conv -> tanh -> pin) x3 -> head-conv chain, measured
+   per-kernel gradient ratios (GSPMD / single-device):
+       pins only, no remat : 0.500 on every chained conv (= 1/spatial —
+                             silent DEFLATION; the isolated-conv pin
+                             workaround of #4 does NOT generalize)
+       remat only, no pins : 3.8x - 7.6x, varying per kernel
+       pins + remat        : 1.000 everywhere
+   This is why spatial training requires BOTH the model-wide fold pins
+   AND remat_chunk — each alone is differently wrong. (The full model
+   additionally deflates head gradients on single-row deepest-scale
+   shards even WITH both defenses — not reproducible in this minimal
+   chain; that geometry is gated off at trace time in train/step.py and
+   checked on hardware by scripts/check_mesh_grads.py.)
+
 Run:  python scripts/repro_gspmd_convgrad.py   (CPU; self-provisions 8
 virtual devices; prints a table of single vs GSPMD gradient norms.)
 """
@@ -102,7 +117,68 @@ def main() -> int:
             ),
         ),
     ]
-    bad = False
+    # Composite chain (docstring #6): fold -> (strided 3x3 -> tanh ->
+    # pin?) x3 -> head conv, optionally under jax.checkpoint — the
+    # minimal analog of this repo's spiking encoder + head. Prints
+    # per-kernel grad ratios for every defense combination; only
+    # pins+remat is correct.
+    CK = 8
+    ks = {
+        n: jnp.asarray(rng.randn(3, 3, CK, CK).astype(np.float32) * 0.2)
+        for n in ("k1", "k2", "k3", "kh")
+    }
+    xc = jnp.asarray(rng.rand(T, B, 16, 16, CK).astype(np.float32))
+    pin4 = NamedSharding(mesh, P("data", "spatial"))
+
+    def chain_obj(pin, remat):
+        def fwd(ks, x):
+            h = x.reshape((T * B, 16, 16, CK))
+            for name, s in (("k1", 2), ("k2", 2), ("k3", 2)):
+                if pin:
+                    h = wsc(h, pin4)
+                h = jnp.tanh(
+                    jax.lax.conv_general_dilated(
+                        h, ks[name], (s, s), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                )
+            if pin:
+                h = wsc(h, pin4)
+            h = jax.lax.conv_general_dilated(
+                h, ks["kh"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.sum(h ** 2) * 1e-2
+
+        return jax.checkpoint(fwd) if remat else fwd
+
+    print("\ncomposite chain (per-kernel grad ratio gspmd/single):")
+    combo_ok = True
+    for pin in (False, True):
+        for remat in (False, True):
+            obj = chain_obj(pin, remat)
+            gc1 = jax.jit(jax.grad(obj))(ks, xc)
+            gc2 = jax.jit(
+                jax.grad(obj), in_shardings=(rep, sh5), out_shardings=rep
+            )(ks, xc)
+            ratios = {
+                n: float(jnp.linalg.norm(gc2[n]) / jnp.linalg.norm(gc1[n]))
+                for n in ks
+            }
+            exact = all(abs(r - 1) < 1e-3 for r in ratios.values())
+            if pin and remat and not exact:
+                combo_ok = False
+            tag = (
+                "[production defense — must be exact]" if (pin and remat)
+                else ""
+            )
+            print(
+                f"  pins={int(pin)} remat={int(remat)}  "
+                + " ".join(f"{n}:{r:.3f}" for n, r in ratios.items())
+                + (f"  {tag}" if tag else "")
+            )
+
+    bad = not combo_ok
     for name, (n1, n2, r) in rows:
         flag = "" if abs(r - 1) < 1e-3 else "   <-- WRONG GRADIENT"
         expected_bug = "BUG" in name
