@@ -306,10 +306,26 @@ def place_state(state, shardings):
     """Place a (host or single-device) train state onto the mesh with the
     given shardings — one transfer per leaf, so a resumed/initialized state
     starts sharded instead of being resharded from device 0 inside the
-    first step (which would momentarily hold the full state on one chip)."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), state, shardings
-    )
+    first step (which would momentarily hold the full state on one chip).
+
+    Multi-host: ``device_put`` cannot target non-addressable devices (same
+    constraint as :func:`shard_batch`), so each process materializes only
+    its OWN addressable shards from its host copy of the global leaf via
+    ``jax.make_array_from_callback`` — every host loads/inits the same
+    full state (checkpoints are replicated files; init is seeded), and
+    each keeps just 1/data of it."""
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s), state, shardings
+        )
+
+    def place(x, s):
+        host = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(
+            host.shape, s, lambda idx: host[idx]
+        )
+
+    return jax.tree.map(place, state, shardings)
 
 
 # ---------------------------------------------------------------------------

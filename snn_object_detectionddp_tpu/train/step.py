@@ -124,6 +124,11 @@ def make_step_fns(
     non-final chunks. T must be a multiple of ``remat_chunk``.
     ``remat`` (bool) keeps the legacy whole-forward checkpoint.
     """
+    if fsdp and mesh is None:
+        raise ValueError(
+            "fsdp=True requires a device mesh (mesh.fsdp shards the train "
+            "state over the mesh's data axis); pass mesh= or disable fsdp"
+        )
     cfg = detector.cfg
     loss_fn = DetectionLoss(cfg.model.num_classes, cfg.model.hyp)
     # Honor runtime.precision end-to-end: the preprocessing stage emits the
@@ -364,33 +369,42 @@ def make_step_fns(
             )
         rep = NamedSharding(mesh, P())
         batch_sh = batch_specs(mesh)
-        # Per-leaf state shardings: replicated by default; under FSDP every
-        # param/moment leaf shards 1/data per device (parallel/mesh.py::
-        # state_shardings — ZeRO derived purely from shardings: XLA turns
-        # the gradient all-reduce into a reduce-scatter and inserts
-        # per-layer all-gathers where the forward consumes a sharded
-        # weight). The template is abstract (eval_shape: no device work).
-        state_template = jax.eval_shape(
-            lambda r: init_state(detector.init_params(r), tx, schedule),
-            jax.random.PRNGKey(0),
-        )
-        state_sh = state_shardings(mesh, state_template, fsdp=fsdp)
+        if fsdp:
+            # Per-leaf FSDP state shardings (parallel/mesh.py::
+            # state_shardings — ZeRO derived purely from shardings: XLA
+            # turns the gradient all-reduce into a reduce-scatter and
+            # inserts per-layer all-gathers where the forward consumes a
+            # sharded weight). The template is abstract (eval_shape: no
+            # device work).
+            state_template = jax.eval_shape(
+                lambda r: init_state(detector.init_params(r), tx, schedule),
+                jax.random.PRNGKey(0),
+            )
+            state_sh = state_shardings(mesh, state_template, fsdp=True)
+            params_sh = state_sh["params"]
+        else:
+            # Replicated state: a single sharding works as a pytree prefix.
+            state_sh = rep
+            params_sh = rep
 
         # The `with` runs at TRACE time (jit re-executes the Python body on
         # every trace), so the fold constraints are captured only in these
         # two programs, never in the single-device/shard_map ones.
         def _train_step_spmd(state, batch):
-            # Trace-time geometry check: the deepest feature scale
-            # (stride 32) must give every spatial shard at least one REAL
-            # row. When spatial exceeds the deepest H, whole shards are
-            # GSPMD padding and the partitioner falls into "involuntary
-            # full rematerialization" replicate-repartition paths whose
+            # Trace-time geometry check (spatial meshes only — the checks
+            # below are about conv halo exchange, which a 1-D FSDP mesh
+            # never does): the deepest feature scale (stride 32) must give
+            # every spatial shard at least one REAL row. When spatial
+            # exceeds the deepest H, whole shards are GSPMD padding and
+            # the partitioner falls into "involuntary full
+            # rematerialization" replicate-repartition paths whose
             # conv-gradient transpose is miscompiled even under remat
             # (measured: spatial=4 on H=64 inputs — deepest scale 2 rows
             # over 4 shards — is ~11% off the true directional derivative;
             # mild padding with >=1 real row per shard — H=96/spatial=2,
             # deepest scale 3 over 2 — agrees with the single-device
-            # gradient to ~1%, as do all evenly-divisible geometries).
+            # gradient to ~1%, as do evenly-divisible block>=2
+            # geometries).
             sp = spatial
             img_h = batch["images"].shape[2]  # (B, T, H, W, C)
             # SAME-padded stride-2 stages take ceil at every halving, and
@@ -401,7 +415,7 @@ def make_step_fns(
             # cover every real row — true for many non-divisor sp that a
             # naive rows >= sp check would admit (e.g. 15 rows, sp=6:
             # blocks of 3, shard 5 is 100% padding).
-            if -(-rows // sp) * (sp - 1) >= rows:
+            if sp > 1 and -(-rows // sp) * (sp - 1) >= rows:
                 raise ValueError(
                     f"mesh.spatial={sp} leaves all-padding shards at the "
                     f"deepest feature scale ({rows} rows at stride 32, "
@@ -417,7 +431,7 @@ def make_step_fns(
             # 1/shard — grad_norm 28-33% LOW at reg_max=16 with a
             # bit-exact loss; block>=2 geometries agree to <1%, including
             # a 1-real-row REMAINDER shard, H=96/spatial=2).
-            if -(-rows // sp) < 2:
+            if sp > 1 and -(-rows // sp) < 2:
                 raise ValueError(
                     f"mesh.spatial={sp} shards the deepest feature scale "
                     f"({rows} rows at stride 32) into single-row blocks: "
@@ -441,7 +455,7 @@ def make_step_fns(
         )
         eval_step = jax.jit(
             _eval_step_spmd,
-            in_shardings=(state_sh["params"], batch_sh),
+            in_shardings=(params_sh, batch_sh),
             out_shardings=rep,
         )
     elif mesh is not None:

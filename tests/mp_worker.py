@@ -68,6 +68,28 @@ def main() -> None:
     s = float(jax.device_get(total(x)))
     expected = float(sum(range(4)) + sum(100 + i for i in range(4)))  # 412
     assert s == expected, (s, expected)
+
+    # --- multi-host FSDP state placement ---------------------------------
+    # place_state must build each leaf from the host's copy WITHOUT
+    # device_put onto non-addressable devices (make_array_from_callback
+    # path): every process holds the same full array, keeps 1/data of it.
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        place_state,
+        state_shardings,
+    )
+
+    state = {"w": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    sh = state_shardings(mesh, state, fsdp=True)
+    placed = place_state(state, sh)
+    w = placed["w"]
+    assert w.shape == (8, 4), w.shape  # global logical shape
+    for shard in w.addressable_shards:  # 4 local devices, 1 row each
+        row = int(shard.index[0].start)
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), state["w"][row : row + 1]
+        )
+    assert float(jax.device_get(total(w))) == float(state["w"].sum())
+
     print(f"MP_OK pid={pid} sum={s}", flush=True)
 
 

@@ -237,6 +237,44 @@ def test_fsdp_checkpoint_roundtrip(setup, tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_fsdp_requires_mesh(setup):
+    """fsdp=True without a mesh must fail loudly, not silently train
+    un-sharded (same posture as the pallas-LIF / missing-remat checks)."""
+    from snn_object_detectionddp_tpu.train.step import make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    with pytest.raises(ValueError, match="requires a device mesh"):
+        make_step_fns(det, tx, schedule, fsdp=True)
+
+
+def test_fsdp_1d_skips_spatial_geometry_gate(setup):
+    """The halo-geometry gate is about SPATIAL sharding; a 1-D FSDP mesh
+    must accept any image height (here 32 px: deepest scale is a single
+    row, which a spatial mesh would reject). Traced via .lower() — the
+    gate runs at trace time, so no compile/execute is needed."""
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        state_shardings,
+    )
+    from snn_object_detectionddp_tpu.train.step import make_step_fns
+
+    cfg, det, tx, schedule, _fns, fresh = setup
+    mesh = make_mesh(-1)
+    fns = make_step_fns(det, tx, schedule, mesh=mesh, fsdp=True)
+    state = fresh()
+    batch = shard_batch(_batch(np.random.RandomState(2), b=8, h=32), mesh)
+    import jax
+
+    sh = state_shardings(mesh, state, fsdp=True)
+    abstract = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        state,
+        sh,
+    )
+    fns.train_step.lower(abstract, batch)  # raises if the gate misfires
+
+
 def test_fsdp_rejects_pallas_lif(setup):
     from snn_object_detectionddp_tpu.models.detector import Detector
     from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
