@@ -217,6 +217,51 @@ def test_spatial_mild_padding_matches_single_device(setup):
     )
 
 
+@pytest.mark.parametrize("bottleneck", ["lstm", "lif"])
+def test_spatial_alt_bottlenecks_match_single_device(bottleneck):
+    """The non-default bottlenecks must also be GSPMD-exact on a spatial
+    mesh. The token LSTM is the interesting one: it reshapes the
+    spatially-sharded bottleneck map into (B, H*W, C) tokens — the same
+    dim-merge family as the conv-grad miscompiles — but its sequential
+    token scan makes the partitioner gather the map first, and the
+    measured step agrees with single-device to ~1e-4. The LIF bottleneck
+    covers the with_readouts accumulator path under the fold pins."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.runtime.precision = "f32"
+    cfg.model.use_conv_lstm = False
+    cfg.model.bottleneck = bottleneck
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(19))
+    tx, schedule = make_optimizer(cfg.training.learning_rate, total_steps=100)
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    fns_a = make_step_fns(det, tx, schedule, remat_chunk=1)
+    fns_b = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
+    batch = _batch(np.random.RandomState(12), b=4, h=96)
+
+    def fresh():
+        return init_state(
+            jax.tree.map(lambda x: x.copy(), params), tx, schedule
+        )
+
+    _, m_a = fns_a.train_step(fresh(), batch)
+    _, m_b = fns_b.train_step(fresh(), shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=2e-2
+    )
+
+
 def test_spatial_train_rejects_single_row_blocks(setup):
     """Geometries where the deepest feature scale shards into SINGLE-ROW
     GSPMD blocks are rejected at trace time: a 3x3 conv there needs halo
