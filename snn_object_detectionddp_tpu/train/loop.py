@@ -3,9 +3,13 @@
 The reference's ``train_loop`` / ``train_one_epoch`` / ``validate_one_epoch``
 (reference: train.py:48-244) rebuilt around jitted sharded steps: host side
 only moves batches and logs; all math lives in one XLA program per step.
-Async dispatch note: metrics are fetched with ``jax.device_get`` once per
-batch *after* the next batch is enqueued by the prefetching loader, so
-logging does not serialize the device.
+Async dispatch note: step k's metrics are fetched one iteration LATE —
+after step k+1 has been dispatched — so the blocking ``device_get`` never
+sits between a step and the next batch's host prep + upload; the H2D
+transfer of batch k+1 overlaps the device computing step k (tqdm's loss
+postfix therefore lags one step). A fetch placed directly after the
+dispatch would stall the host until the step completes and leave the
+device idle through every upload.
 """
 
 from __future__ import annotations
@@ -36,13 +40,25 @@ def train_one_epoch(
     comps = np.zeros(3)
     steps = len(loader)
     pbar = tqdm(loader, desc="Training", total=steps)
-    for batch_idx, batch in enumerate(pbar):
-        state, metrics = fns.train_step(state, _device_batch(batch, mesh))
-        m = jax.device_get(metrics)
+    pending = None  # (device metrics, batch_idx) of the in-flight step
+
+    def drain(p):
+        nonlocal total, comps
+        m = jax.device_get(p[0])
         total += float(m["loss"])
         comps += np.array([m["box"], m["cls"], m["dfl"]])
         pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
-        logger.train_batch(m, epoch * steps + batch_idx)
+        logger.train_batch(m, epoch * steps + p[1])
+
+    for batch_idx, batch in enumerate(pbar):
+        state, metrics = fns.train_step(state, _device_batch(batch, mesh))
+        # One-step-delayed fetch: step batch_idx runs on device while the
+        # loop body above prepared + uploaded its batch (module docstring).
+        if pending is not None:
+            drain(pending)
+        pending = (metrics, batch_idx)
+    if pending is not None:
+        drain(pending)
     return state, total / max(steps, 1), comps / max(steps, 1)
 
 
@@ -57,14 +73,25 @@ def validate_one_epoch(
     steps = len(loader)
     first_batch = None
     pbar = tqdm(loader, desc="Validation", total=steps)
-    for batch_idx, batch in enumerate(pbar):
-        if first_batch is None:
-            first_batch = batch
-        m = jax.device_get(fns.eval_step(params, _device_batch(batch, mesh)))
+    pending = None  # one-step-delayed fetch, as in train_one_epoch
+
+    def drain(p):
+        nonlocal total, comps
+        m = jax.device_get(p[0])
         total += float(m["loss"])
         comps += np.array([m["box"], m["cls"], m["dfl"]])
         pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
-        logger.val_batch(m, epoch * steps + batch_idx)
+        logger.val_batch(m, epoch * steps + p[1])
+
+    for batch_idx, batch in enumerate(pbar):
+        if first_batch is None:
+            first_batch = batch
+        metrics = fns.eval_step(params, _device_batch(batch, mesh))
+        if pending is not None:
+            drain(pending)
+        pending = (metrics, batch_idx)
+    if pending is not None:
+        drain(pending)
     return total / max(steps, 1), comps / max(steps, 1), first_batch
 
 
