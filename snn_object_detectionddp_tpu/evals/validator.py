@@ -136,8 +136,8 @@ def evaluate_model(
 
     from tqdm import tqdm
 
-    for batch in tqdm(loader, desc="Evaluating", total=len(loader)):
-        out = jax.device_get(predict(params, batch["images"]))
+    def accumulate(out_dev, batch):
+        out = jax.device_get(out_dev)
         h, w = batch["images"].shape[2:4]
         scale = np.array([w, h, w, h], np.float32)
         for i in range(len(batch["paths"])):  # real samples only
@@ -154,6 +154,18 @@ def evaluate_model(
                 gt_boxes=gt_boxes,
                 gt_cls=gt[:, 0] if gt.size else np.zeros(0),
             )
+
+    # One-batch-delayed fetch (same pattern as train/loop.py): batch k's
+    # host-side metric accumulation + batch k+1's upload overlap the device
+    # computing batch k+1 instead of serializing around device_get.
+    pending = None
+    for batch in tqdm(loader, desc="Evaluating", total=len(loader)):
+        out_dev = predict(params, batch["images"])
+        if pending is not None:
+            accumulate(*pending)
+        pending = (out_dev, batch)
+    if pending is not None:
+        accumulate(*pending)
 
     results = metrics.results_dict()
     print("\n--- Evaluation Results ---")
