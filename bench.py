@@ -32,21 +32,12 @@ _V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (BASELINE.md MFU basis)
 
 
 def _require_backend(timeout_s: float = 60.0) -> None:
-    """Fail fast if backend init hangs. A remote-TPU plugin whose tunnel is
-    down blocks jax.devices() forever (observed on this machine's 'axon'
-    link); an unattended bench must emit a diagnosable JSON line instead of
-    hanging the harness."""
-    import threading
+    """Fail fast if backend init hangs (utils/backend.py probe): an
+    unattended bench must emit a diagnosable JSON line instead of hanging
+    the harness."""
+    from snn_object_detectionddp_tpu.utils.backend import probe_backend
 
-    import jax
-
-    probe: list = []
-    t = threading.Thread(
-        target=lambda: probe.append(jax.default_backend()), daemon=True
-    )
-    t.start()
-    t.join(timeout=timeout_s)
-    if not probe:
+    if probe_backend(timeout_s) is None:
         print(
             json.dumps(
                 {

@@ -46,6 +46,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     cfg = load_config(args.config)
+    # Fail fast when the accelerator tunnel is down instead of hanging on
+    # the first backend touch (snn_object_detectionddp_tpu/utils/backend.py).
+    from snn_object_detectionddp_tpu.utils.backend import require_backend
+
+    require_backend()
     detector = Detector.from_config(cfg)
     weights_path = (
         Path(args.weights) if args.weights else Path(cfg.training.save_dir) / "best.pt"

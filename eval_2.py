@@ -68,4 +68,10 @@ if __name__ == "__main__":
     ap.add_argument("--config", default="config.yaml")
     ap.add_argument("--weights", default=None)
     args = ap.parse_args()
-    evaluate(load_config(args.config), args.weights)
+    cfg = load_config(args.config)
+    # Fail fast when the accelerator tunnel is down instead of hanging on
+    # the first backend touch (snn_object_detectionddp_tpu/utils/backend.py).
+    from snn_object_detectionddp_tpu.utils.backend import require_backend
+
+    require_backend()
+    evaluate(cfg, args.weights)

@@ -192,6 +192,13 @@ if __name__ == "__main__":
 
     maybe_init_distributed(cfg)
 
+    # Fail fast if the accelerator tunnel is down (backend init would
+    # otherwise hang forever) — after distributed init, which must own the
+    # first backend touch on multi-host launches.
+    from snn_object_detectionddp_tpu.utils.backend import require_backend
+
+    require_backend()
+
     detector = Detector.from_config(cfg)
 
     if cfg.mode == "train":

@@ -155,17 +155,15 @@ def evaluate_model(
                 gt_cls=gt[:, 0] if gt.size else np.zeros(0),
             )
 
-    # One-batch-delayed fetch (same pattern as train/loop.py): batch k's
-    # host-side metric accumulation + batch k+1's upload overlap the device
-    # computing batch k+1 instead of serializing around device_get.
-    pending = None
+    # One-batch-delayed fetch (utils/pipelining.py, as in train/loop.py):
+    # batch k's host-side metric accumulation + batch k+1's upload overlap
+    # the device computing batch k+1 instead of serializing on device_get.
+    from ..utils.pipelining import DelayedFetch
+
+    fetch = DelayedFetch(accumulate)
     for batch in tqdm(loader, desc="Evaluating", total=len(loader)):
-        out_dev = predict(params, batch["images"])
-        if pending is not None:
-            accumulate(*pending)
-        pending = (out_dev, batch)
-    if pending is not None:
-        accumulate(*pending)
+        fetch.push(predict(params, batch["images"]), batch)
+    fetch.flush()
 
     results = metrics.results_dict()
     print("\n--- Evaluation Results ---")

@@ -328,6 +328,31 @@ def place_state(state, shardings):
     return jax.tree.map(place, state, shardings)
 
 
+def make_state_gatherer(mesh: Mesh, state_template):
+    """Jitted identity that re-shards a train state fully REPLICATED —
+    the checkpointing collective for multi-host FSDP: a cross-host-sharded
+    leaf cannot be ``device_get`` (non-addressable shards), so before a
+    save EVERY process runs this gather together (SPMD — one rank alone
+    would deadlock) and rank 0 then reads its local, complete copy.
+    Built once per run (the jit caches the all-gather program)."""
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: rep, state_template)
+    return jax.jit(lambda s: s, out_shardings=shardings)
+
+
+def state_is_host_readable(state) -> bool:
+    """True when every leaf can be ``device_get`` from this process:
+    fully addressable (single-host / process-local), or fully REPLICATED —
+    a multi-host replicated array has non-addressable devices, but every
+    process holds complete local copies, which is exactly what device_get
+    reads."""
+    return all(
+        getattr(leaf, "is_fully_addressable", True)
+        or getattr(leaf, "is_fully_replicated", False)
+        for leaf in jax.tree.leaves(state)
+    )
+
+
 # ---------------------------------------------------------------------------
 # GSPMD fold-sharding constraints (spatial-parallel correctness)
 # ---------------------------------------------------------------------------

@@ -58,6 +58,12 @@ class _Job:
     reply: queue.Queue = field(default_factory=lambda: queue.Queue(maxsize=1))
     t0: float = field(default_factory=time.perf_counter)  # enqueue time
     clip: bool = False  # multi-frame chunk: per-frame detections, one job
+    # Set by _submit when the caller gave up (reply timeout): the worker
+    # drops the job at admission time instead of executing it — otherwise
+    # the orphaned job would still advance the stream's recurrent state
+    # and a client retry would double-integrate the frame. Best-effort: a
+    # job cancelled after it entered a running batch still executes.
+    cancelled: threading.Event = field(default_factory=threading.Event)
 
 
 class DetectionService:
@@ -168,6 +174,30 @@ class DetectionService:
         self._zero_state1 = jax.device_put(
             jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
         )
+        # Per-leaf BATCH AXIS of the recurrent state, inferred by diffing
+        # the state structure at B=1 vs B=2: batch is axis 0 for conv-style
+        # leaves (B, H, W, C) but axis 1 for the token-LSTM carry
+        # (num_layers, B, hidden) — stacking/slicing a hardcoded axis 0
+        # would mis-batch the latter (caught in review; tests/test_serve.py
+        # pins the lstm bottleneck end-to-end).
+        struct2 = jax.eval_shape(
+            lambda p, img: predict(p, img, None)[1],
+            self.params,
+            jax.ShapeDtypeStruct((2, h, w, 3), jnp.uint8),
+        )
+
+        def _batch_axis(s1, s2):
+            diffs = [
+                i for i, (a, b) in enumerate(zip(s1.shape, s2.shape)) if a != b
+            ]
+            if len(diffs) != 1:
+                raise ValueError(
+                    "cannot infer the batch axis of a recurrent-state leaf "
+                    f"(B=1 shape {s1.shape} vs B=2 shape {s2.shape})"
+                )
+            return diffs[0]
+
+        self._state_axes = jax.tree.map(_batch_axis, struct, struct2)
         self._states: dict[str, Any] = {}
         self._lru: list[str] = []
         # Per-stream cap on worker-local deferrals (see _next_jobs).
@@ -272,6 +302,11 @@ class DetectionService:
                         "detection worker died while processing"
                     ) from None
                 if time.perf_counter() > deadline:
+                    # Mark the orphan so the worker drops it instead of
+                    # executing it later (which would advance the stream
+                    # state with nobody reading the result — and a client
+                    # retry of the same frame would then apply it twice).
+                    job.cancelled.set()
                     raise TimeoutError(
                         f"no result within {self.reply_timeout_s}s"
                     ) from None
@@ -295,26 +330,49 @@ class DetectionService:
         return len(self._states)
 
     # -- device worker -----------------------------------------------------
-    @staticmethod
-    def _stack_states(states: list):
+    def _stack_states(self, states: list):
+        """Concatenate per-stream B=1 states into one B=K state, each leaf
+        along ITS batch axis (self._state_axes — not uniformly axis 0: the
+        token-LSTM carry batches on axis 1)."""
         import jax
         import jax.numpy as jnp
 
         if len(states) == 1:
             return states[0]
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
+        return jax.tree.map(
+            lambda ax, *xs: jnp.concatenate(xs, axis=ax),
+            self._state_axes,
+            *states,
+        )
+
+    def _slice_state(self, state, i: int):
+        """Stream i's B=1 slice of a batched state (per-leaf batch axis)."""
+        import jax
+
+        return jax.tree.map(
+            lambda ax, x: x[(slice(None),) * ax + (slice(i, i + 1),)],
+            self._state_axes,
+            state,
+        )
 
     def _next_jobs(self) -> list | None:
         """Blocking take of one job, then a non-blocking drain of up to
         max_batch jobs from *distinct* streams (a stream's requests must
         chain through its state, so same-stream jobs defer to the next
-        round). Returns None on the stop sentinel."""
-        if self._deferred:
-            first = self._deferred.pop(0)
-        else:
-            first = self._q.get()
-            if first is None:
-                return None
+        round — and a stream with ANY deferred job is blocked entirely,
+        preserving per-stream FIFO: admitting a fresh frame past a
+        deferred clip would integrate frames out of order). Returns None
+        on the stop sentinel."""
+        first = None
+        while first is None:
+            if self._deferred:
+                first = self._deferred.pop(0)
+            else:
+                first = self._q.get()
+                if first is None:
+                    return None
+            if first.cancelled.is_set():  # caller timed out: drop, don't run
+                first = None
         if first.clip:
             # A clip occupies the whole dispatch (its T axis IS the batch
             # through the folded decoder); never mixed with other jobs.
@@ -322,14 +380,22 @@ class DetectionService:
         jobs = [first]
         streams = {first.stream}
         # Deferred jobs first (FIFO per stream), then fresh queue items.
+        # `streams` doubles as the block set: every deferred entry we skip
+        # adds its stream, so nothing later (deferred OR fresh) from that
+        # stream can jump the queue this round.
         i = 0
-        while len(jobs) < self.max_batch and i < len(self._deferred):
-            if self._deferred[i].clip or self._deferred[i].stream in streams:
+        while i < len(self._deferred):
+            d = self._deferred[i]
+            if d.cancelled.is_set():
+                self._deferred.pop(i)
+                continue
+            if d.clip or d.stream in streams or len(jobs) >= self.max_batch:
+                streams.add(d.stream)
                 i += 1
                 continue
-            j = self._deferred.pop(i)
-            jobs.append(j)
-            streams.add(j.stream)
+            self._deferred.pop(i)
+            jobs.append(d)
+            streams.add(d.stream)
         while len(jobs) < self.max_batch:
             try:
                 nxt = self._q.get_nowait()
@@ -338,6 +404,8 @@ class DetectionService:
             if nxt is None:
                 self._q.put(None)  # re-post: stop after this batch
                 break
+            if nxt.cancelled.is_set():
+                continue
             if nxt.clip or nxt.stream in streams:
                 # Backpressure: _deferred sits OUTSIDE the bounded request
                 # queue, so without a cap a client pipelining one stream
@@ -357,6 +425,10 @@ class DetectionService:
                     )
                 else:
                     self._deferred.append(nxt)
+                    # Block the stream for the rest of this drain: a later
+                    # fresh frame must not be admitted ahead of the job we
+                    # just deferred (per-stream FIFO).
+                    streams.add(nxt.stream)
             else:
                 jobs.append(nxt)
                 streams.add(nxt.stream)
@@ -421,8 +493,7 @@ class DetectionService:
                 )
                 host = jax.device_get(out)
                 per_job_states = [
-                    jax.tree.map(lambda x, i=i: x[i : i + 1], new_state)
-                    for i in range(n)
+                    self._slice_state(new_state, i) for i in range(n)
                 ]
                 with self._state_lock:
                     for j, st, (_, gen0) in zip(jobs, per_job_states, entries):

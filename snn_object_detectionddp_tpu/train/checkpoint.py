@@ -72,8 +72,13 @@ class AsyncCheckpointer:
 
         self.wait()  # one in-flight save at a time
         # On-device snapshot: the caller's buffers will be donated to the
-        # next train step while the background thread reads.
-        snap = jax.tree.map(jnp.copy, state)
+        # next train step while the background thread reads. Host-numpy
+        # leaves (multi-host FSDP saves pass a pre-gathered host state)
+        # are already detached from donation — copying them through
+        # jnp.copy would pointlessly re-upload the full state.
+        snap = jax.tree.map(
+            lambda x: x if isinstance(x, np.ndarray) else jnp.copy(x), state
+        )
 
         def job():
             host = jax.device_get(snap)

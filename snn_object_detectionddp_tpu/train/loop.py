@@ -20,7 +20,9 @@ import jax
 import numpy as np
 from tqdm import tqdm
 
+from ..parallel import mesh as _mesh_mod
 from ..parallel.mesh import shard_batch
+from ..utils.pipelining import DelayedFetch
 from ..utils.logging import MetricsLogger, make_writer
 from .checkpoint import AsyncCheckpointer
 from .step import TrainStepFns
@@ -40,25 +42,22 @@ def train_one_epoch(
     comps = np.zeros(3)
     steps = len(loader)
     pbar = tqdm(loader, desc="Training", total=steps)
-    pending = None  # (device metrics, batch_idx) of the in-flight step
 
-    def drain(p):
+    def drain(metrics, batch_idx):
         nonlocal total, comps
-        m = jax.device_get(p[0])
+        m = jax.device_get(metrics)
         total += float(m["loss"])
         comps += np.array([m["box"], m["cls"], m["dfl"]])
         pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
-        logger.train_batch(m, epoch * steps + p[1])
+        logger.train_batch(m, epoch * steps + batch_idx)
 
+    # One-step-delayed fetch: step k runs on device while the loop body
+    # prepares + uploads batch k+1 (module docstring; utils/pipelining.py).
+    fetch = DelayedFetch(drain)
     for batch_idx, batch in enumerate(pbar):
         state, metrics = fns.train_step(state, _device_batch(batch, mesh))
-        # One-step-delayed fetch: step batch_idx runs on device while the
-        # loop body above prepared + uploaded its batch (module docstring).
-        if pending is not None:
-            drain(pending)
-        pending = (metrics, batch_idx)
-    if pending is not None:
-        drain(pending)
+        fetch.push(metrics, batch_idx)
+    fetch.flush()
     return state, total / max(steps, 1), comps / max(steps, 1)
 
 
@@ -73,25 +72,21 @@ def validate_one_epoch(
     steps = len(loader)
     first_batch = None
     pbar = tqdm(loader, desc="Validation", total=steps)
-    pending = None  # one-step-delayed fetch, as in train_one_epoch
 
-    def drain(p):
+    def drain(metrics, batch_idx):
         nonlocal total, comps
-        m = jax.device_get(p[0])
+        m = jax.device_get(metrics)
         total += float(m["loss"])
         comps += np.array([m["box"], m["cls"], m["dfl"]])
         pbar.set_postfix(loss=f"{float(m['loss']):.4f}")
-        logger.val_batch(m, epoch * steps + p[1])
+        logger.val_batch(m, epoch * steps + batch_idx)
 
+    fetch = DelayedFetch(drain)  # one-step-delayed, as in train_one_epoch
     for batch_idx, batch in enumerate(pbar):
         if first_batch is None:
             first_batch = batch
-        metrics = fns.eval_step(params, _device_batch(batch, mesh))
-        if pending is not None:
-            drain(pending)
-        pending = (metrics, batch_idx)
-    if pending is not None:
-        drain(pending)
+        fetch.push(fns.eval_step(params, _device_batch(batch, mesh)), batch_idx)
+    fetch.flush()
     return total / max(steps, 1), comps / max(steps, 1), first_batch
 
 
@@ -124,8 +119,26 @@ def train_loop(
     logger = MetricsLogger(writer)
     ckptr = AsyncCheckpointer()
 
+    # Multi-host FSDP: a cross-host-sharded state cannot be device_get by
+    # rank 0 alone (non-addressable shards would raise inside the async
+    # writer thread and silently drop every checkpoint). Detect it once and
+    # gather-to-replicated as a COLLECTIVE — every rank runs the gather at
+    # the same points (improvement + save cadence, both rank-uniform
+    # decisions); rank 0 then snapshots host-side from its local copy.
+    needs_gather = mesh is not None and not _mesh_mod.state_is_host_readable(
+        state
+    )
+    gather = (
+        _mesh_mod.make_state_gatherer(mesh, state) if needs_gather else None
+    )
+
+    def host_snapshot(s):
+        """All ranks: collective gather; rank 0 returns host numpy state."""
+        g = gather(s)
+        return jax.device_get(g) if is_main else None
+
     epochs = cfg.training.epochs
-    best_snap = None  # (device-copied state, epoch) pending a best.pt write
+    best_snap = None  # (snapshotted state, epoch) pending a best.pt write
     for epoch in range(start_epoch, epochs):
         print(f"\n--- Epoch {epoch + 1}/{epochs} ---")
         state, train_loss, train_comps = train_one_epoch(
@@ -165,8 +178,14 @@ def train_loop(
             # out on the next scheduled write — so best.pt fidelity does not
             # depend on the write cadence. Rank 0 only: other ranks never
             # write best.pt, so snapshotting there would just pin a full
-            # extra state copy in HBM for the whole run.
-            if is_main:
+            # extra state copy in HBM for the whole run. (Multi-host FSDP:
+            # the gather is collective, so it runs on every rank; only
+            # rank 0 keeps the host copy.)
+            if needs_gather:
+                hs = host_snapshot(state)
+                if is_main:
+                    best_snap = (hs, epoch)
+            elif is_main:
                 import jax.numpy as jnp
 
                 best_snap = (jax.tree.map(jnp.copy, state), epoch)
@@ -179,9 +198,12 @@ def train_loop(
         # reference's stale value, train.py:207 / SURVEY §2.7).
         cadence = getattr(cfg.training, "save_every_epochs", 1)
         is_last = epoch == epochs - 1
-        if is_main and (is_last or (cadence and (epoch + 1) % cadence == 0)):
+        due = is_last or (cadence and (epoch + 1) % cadence == 0)
+        # Collective gather OUTSIDE the rank guard (every rank must join).
+        latest_state = host_snapshot(state) if (due and needs_gather) else state
+        if is_main and due:
             latest = save_dir / "latest.pt"
-            ckptr.save(state, epoch, best_val_loss, latest)
+            ckptr.save(latest_state, epoch, best_val_loss, latest)
             if best_snap is not None:
                 snap_state, snap_epoch = best_snap
                 ckptr.wait()

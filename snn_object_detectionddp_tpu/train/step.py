@@ -390,6 +390,12 @@ def make_step_fns(
         # The `with` runs at TRACE time (jit re-executes the Python body on
         # every trace), so the fold constraints are captured only in these
         # two programs, never in the single-device/shard_map ones.
+        # 1-D (no spatial axis) meshes skip the pins entirely — the
+        # documented miscompiles are 2-D-specific, pinning every fold to
+        # P('data') forces a t-interleaved re-partitioning per layer for
+        # nothing (same reasoning as evals/validator.py), and the 1-D FSDP
+        # step is measured exact without them (tests/test_fsdp.py).
+        fold_mesh = mesh if spatial > 1 else None
         def _train_step_spmd(state, batch):
             # Trace-time geometry check (spatial meshes only — the checks
             # below are about conv halo exchange, which a 1-D FSDP mesh
@@ -440,11 +446,11 @@ def make_step_fns(
                     "(docs/PARALLELISM.md). Use a taller image or a "
                     "smaller mesh.spatial."
                 )
-            with fold_sharding(mesh):
+            with fold_sharding(fold_mesh):
                 return _train_step(state, batch, axis=None)
 
         def _eval_step_spmd(params, batch):
-            with fold_sharding(mesh):
+            with fold_sharding(fold_mesh):
                 return _eval_step(params, batch, axis=None)
 
         train_step = jax.jit(

@@ -90,6 +90,22 @@ def main() -> None:
         )
     assert float(jax.device_get(total(w))) == float(state["w"].sum())
 
+    # --- multi-host FSDP checkpoint gather --------------------------------
+    # Cross-host-sharded leaves are NOT host-readable; the save path must
+    # gather-to-replicated as a collective (all ranks together), after
+    # which any rank can device_get its local complete copy.
+    from snn_object_detectionddp_tpu.parallel.mesh import (
+        make_state_gatherer,
+        state_is_host_readable,
+    )
+
+    assert not state_is_host_readable(placed)
+    gathered = make_state_gatherer(mesh, placed)(placed)
+    assert state_is_host_readable(gathered)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(gathered["w"])), state["w"]
+    )
+
     print(f"MP_OK pid={pid} sum={s}", flush=True)
 
 

@@ -278,6 +278,160 @@ def test_reset_during_inflight_discards_stale_state(service):
         gate.set()
 
 
+def test_deferred_clip_blocks_stream_ordering(service):
+    """A deferred clip must BLOCK its stream for the rest of the drain:
+    admitting a later single frame past it would integrate the stream's
+    frames out of order (review finding). Scenario: while the worker is
+    busy, queue [detect(other), clip(X), detect(X, frame9)] — frame9 must
+    run AFTER the clip."""
+    import time as _time
+
+    clip = np.stack([_frame(40 + i) for i in range(2)])
+    frame9 = _frame(49)
+
+    # Sequential reference on a fresh stream: clip, then the frame.
+    service.detect_clip("ord_ref", clip)
+    ref_after = service.detect("ord_ref", frame9)
+    service.reset("ord_ref")
+
+    gate = threading.Event()
+    real_predict = service._predict
+
+    def gated_predict(params, images, state):
+        gate.wait(timeout=60)
+        return real_predict(params, images, state)
+
+    results: dict[str, dict] = {}
+    service._predict = gated_predict
+    try:
+        t_dummy = threading.Thread(
+            target=lambda: service.detect("ord_other", _frame(41))
+        )
+        t_dummy.start()
+        _time.sleep(0.3)  # worker holds the dummy job inside predict
+        t_clip = threading.Thread(
+            target=lambda: results.update(
+                clip=service.detect_clip("ord_x", clip)
+            )
+        )
+        t_clip.start()
+        _time.sleep(0.2)  # clip enqueued first...
+        t_single = threading.Thread(
+            target=lambda: results.update(
+                single=service.detect("ord_x", frame9)
+            )
+        )
+        t_single.start()
+        _time.sleep(0.3)  # ...then the same stream's single frame
+        service._predict = real_predict
+        gate.set()
+        for t in (t_dummy, t_clip, t_single):
+            t.join(timeout=120)
+    finally:
+        service._predict = real_predict
+        gate.set()
+    assert "clip" in results and "single" in results
+    # frame9 saw the post-clip state, not the zero state.
+    assert results["single"]["scores"] == pytest.approx(
+        ref_after["scores"], abs=1e-3
+    )
+    service.reset("ord_x")
+    service.reset("ord_other")
+
+
+def test_timed_out_job_never_executes(service):
+    """A job whose caller timed out is dropped at admission instead of
+    executed (review finding): executing it anyway would advance the
+    stream's recurrent state with nobody reading the result, so a client
+    retry would double-integrate the frame."""
+    import time as _time
+
+    fresh_ref = service.detect("to_ref", _frame(7))
+    service.reset("to_ref")
+
+    gate = threading.Event()
+    real_predict = service._predict
+
+    def gated_predict(params, images, state):
+        gate.wait(timeout=60)
+        return real_predict(params, images, state)
+
+    old_timeout = service.reply_timeout_s
+    service._predict = gated_predict
+    errs = []
+
+    def call_doomed():
+        try:
+            service.detect("to_x", _frame(7))
+        except TimeoutError as e:
+            errs.append(e)
+
+    try:
+        t_dummy = threading.Thread(
+            target=lambda: service.detect("to_other", _frame(8))
+        )
+        t_dummy.start()  # submits with the default (generous) timeout
+        _time.sleep(0.3)  # worker blocked inside the dummy's predict
+        # Shrink the timeout ONLY for the doomed call (deadlines are
+        # computed at submit time, so the in-flight dummy keeps its own).
+        service.reply_timeout_s = 1.0
+        t_doomed = threading.Thread(target=call_doomed)
+        t_doomed.start()
+        t_doomed.join(timeout=30)  # times out at 1 s, sets job.cancelled
+        assert errs, "doomed request should have timed out"
+        service.reply_timeout_s = old_timeout
+        service._predict = real_predict
+        gate.set()
+        t_dummy.join(timeout=120)
+    finally:
+        service.reply_timeout_s = old_timeout
+        service._predict = real_predict
+        gate.set()
+    # Drain: the retry must see a FRESH stream (the cancelled job was
+    # dropped, never advanced state).
+    retry = service.detect("to_x", _frame(7))
+    assert retry["scores"] == pytest.approx(fresh_ref["scores"], abs=1e-3)
+    service.reset("to_x")
+    service.reset("to_other")
+
+
+def test_lstm_bottleneck_micro_batching():
+    """The token-LSTM bottleneck's recurrent carry batches on axis 1
+    (num_layers, B, hidden) — stacking/slicing per-stream states must use
+    the per-leaf batch axis (review finding: a hardcoded axis 0 crashed
+    warmup for any max_batch > 1)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.serve import DetectionService
+
+    cfg = Config()
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.image_size = (64, 64)
+    cfg.model.use_conv_lstm = False
+    cfg.model.bottleneck = "lstm"
+    det = Detector.from_config(cfg)
+    svc = DetectionService(det, det.init_params(jax.random.PRNGKey(1)),
+                           conf=0.0, max_det=8, max_batch=2,
+                           max_clip=1).start()
+    try:
+        svc.warmup()  # compiles the B=2 program: stacks two B=1 states
+        # Distinct-stream results must match solo-served baselines, and
+        # state must carry per stream through the sliced commits.
+        a1 = svc.detect("la", _frame(60))
+        b1 = svc.detect("lb", _frame(60))
+        assert b1["scores"] == pytest.approx(a1["scores"], abs=1e-4)
+        a2 = svc.detect("la", _frame(60))
+        assert a2["scores"] != a1["scores"]  # state advanced
+        b2 = svc.detect("lb", _frame(60))
+        assert b2["scores"] == pytest.approx(a2["scores"], abs=1e-3)
+    finally:
+        svc.stop()
+
+
 def test_detect_after_stop_raises():
     import jax
 
