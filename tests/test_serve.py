@@ -432,6 +432,79 @@ def test_lstm_bottleneck_micro_batching():
         svc.stop()
 
 
+def test_concurrent_streams_fuzz_match_serial_oracle(service):
+    """Randomized interleaving stress for the worker's batching/deferral
+    logic: 4 streams each run a fixed mixed sequence of single frames and
+    clips from their own thread (client-side ordering per stream), all
+    concurrently. Every op's result must equal the same sequence run
+    serially on a fresh stream — any state cross-talk, mis-sliced batch
+    state, or out-of-order integration breaks the match."""
+    # The shared fixture caps max_streams=2 (for the LRU test); 4
+    # concurrent streams would evict each other's state mid-script —
+    # correct LRU behavior, but not what this test measures.
+    old_max = service.max_streams
+    service.max_streams = 16
+    rng = np.random.RandomState(99)
+    # Per-stream op scripts: ("f", frame) or ("c", clip of 2-3 frames).
+    scripts = []
+    for s in range(4):
+        ops = []
+        for k in range(5):
+            if rng.rand() < 0.4:
+                t = int(rng.randint(2, 4))
+                ops.append(("c", np.stack([
+                    _frame(1000 + 100 * s + 10 * k + j) for j in range(t)
+                ])))
+            else:
+                ops.append(("f", _frame(1000 + 100 * s + 10 * k)))
+        scripts.append(ops)
+
+    def run_script(stream, ops):
+        outs = []
+        for kind, data in ops:
+            if kind == "f":
+                outs.append(service.detect(stream, data)["scores"])
+            else:
+                outs.append(
+                    [f["scores"] for f in
+                     service.detect_clip(stream, data)["frames"]]
+                )
+        return outs
+
+    # Serial oracle: each script alone on a fresh stream.
+    expected = []
+    for s, ops in enumerate(scripts):
+        expected.append(run_script(f"fz_ref{s}", ops))
+        service.reset(f"fz_ref{s}")
+
+    results: list = [None] * 4
+    threads = [
+        threading.Thread(
+            target=lambda s=s: results.__setitem__(
+                s, run_script(f"fz{s}", scripts[s])
+            )
+        )
+        for s in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    try:
+        for s in range(4):
+            assert results[s] is not None, f"stream {s} did not finish"
+            for got, exp in zip(results[s], expected[s]):
+                if isinstance(exp, list) and exp and isinstance(exp[0], list):
+                    for g, e in zip(got, exp):
+                        assert g == pytest.approx(e, abs=1e-3)
+                else:
+                    assert got == pytest.approx(exp, abs=1e-3)
+    finally:
+        service.max_streams = old_max
+        for s in range(4):
+            service.reset(f"fz{s}")
+
+
 def test_detect_after_stop_raises():
     import jax
 
