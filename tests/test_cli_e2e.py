@@ -73,3 +73,49 @@ def test_cli_train_resume_eval_visualize_video(e2e_cfg):
 
     out = stitch_video(viz_dir, save_dir / "video/output.mp4")
     assert Path(out).exists()
+
+
+def test_cli_train_resume_fsdp_spatial_mesh(tmp_path_factory):
+    """The flagship multi-chip config path through the REAL CLI: mesh
+    data x spatial with mesh.fsdp on the 8-virtual-device suite mesh —
+    train one epoch, checkpoint, resume one more. Covers main.train_code's
+    sharded-state placement (place_state), the GSPMD step with FSDP
+    in/out shardings, checkpoint save of sharded state, and the resume
+    re-placement. 96-px images: the deepest scale must shard in >=2-row
+    blocks (train/step.py geometry gate)."""
+    import main as main_mod
+    from snn_object_detectionddp_tpu.models.detector import Detector
+
+    root = tmp_path_factory.mktemp("dsec_fsdp")
+    make_dataset(root, num_sequences=2, splits=("train",), num_frames=5,
+                 height=96, width=64, num_objects=2, num_classes=2)
+    cfg = Config()
+    for split in ("train", "val"):
+        sc = cfg.dataset.split(split)
+        sc.path = str(root / "train")
+        sc.seq_len = 2
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.max_boxes = 8
+    cfg.model.image_size = (96, 64)
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.training.num_workers = 1
+    cfg.training.remat_chunk = 1  # required by the spatial axis
+    cfg.training.save_dir = str(tmp_path_factory.mktemp("run_fsdp"))
+    cfg.training.weights_path = str(Path(cfg.training.save_dir) / "latest.pt")
+    cfg.mesh.data = 4
+    cfg.mesh.spatial = 2
+    cfg.mesh.fsdp = True
+
+    detector = Detector.from_config(cfg)
+    main_mod.train_code(cfg, detector)
+    save_dir = Path(cfg.training.save_dir)
+    assert (save_dir / "latest.pt").exists()
+
+    cfg.training.resume_training = True
+    cfg.training.epochs = 2
+    main_mod.train_code(cfg, detector)
+    assert (save_dir / "latest.pt").exists()
