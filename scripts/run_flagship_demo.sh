@@ -40,6 +40,21 @@ if [ -f runs/flagship_demo/exp/best.pt ]; then
     echo "[launcher $(date -u +%FT%TZ)] eval_2 rc=$? (runs/flagship_demo/eval2.log)" | tee -a "$LOG"
   fi
   if relay_up; then
+    # Visual evidence for the demo: overlay PNGs on the test split from
+    # best.pt, stitched to mp4 (the reference's visualize + video.py flow).
+    echo "[launcher $(date -u +%FT%TZ)] running visualize + video" | tee -a "$LOG"
+    sed 's/^mode: .*/mode: "visualize"/' scripts/flagship_demo.yaml > /tmp/flagship_viz.yaml
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
+      python main.py --config /tmp/flagship_viz.yaml \
+      > runs/flagship_demo/viz.log 2>&1
+    echo "[launcher $(date -u +%FT%TZ)] visualize rc=$?" | tee -a "$LOG"
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 900 \
+      python video.py --config /tmp/flagship_viz.yaml \
+      --output runs/flagship_demo/exp/video/output.mp4 \
+      >> runs/flagship_demo/viz.log 2>&1
+    echo "[launcher $(date -u +%FT%TZ)] video rc=$?" | tee -a "$LOG"
+  fi
+  if relay_up; then
     echo "[launcher $(date -u +%FT%TZ)] running bench refresh" | tee -a "$LOG"
     PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
       python bench.py > runs/flagship_demo/bench_headline.json 2> runs/flagship_demo/bench_headline.log
