@@ -50,7 +50,7 @@ def evaluate(cfg, weights: str | None = None) -> dict:
     # path (the SPMD partitioner cannot split its custom call — fall back
     # rather than fail a run that worked single-device).
     mesh = None
-    if jax.device_count() > 1 or cfg.mesh.spatial > 1:
+    if jax.device_count() > 1 or cfg.mesh.spatial > 1 or cfg.mesh.tensor > 1:
         if cfg.runtime.lif_kernel == "pallas":
             print(
                 "NOTE: runtime.lif_kernel=pallas is not partitionable; "
@@ -59,7 +59,9 @@ def evaluate(cfg, weights: str | None = None) -> dict:
         else:
             from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
+            mesh = make_mesh(
+                cfg.mesh.data, cfg.mesh.spatial, tensor=cfg.mesh.tensor
+            )
     return evaluate_model(cfg, detector, params, mesh=mesh)
 
 

@@ -56,6 +56,13 @@ def train_code(cfg, detector: Detector) -> None:
     train_idx, val_idx = train_val_split(index, seed=cfg.training.seed)
     train_idx, val_idx = apply_train_debug(train_idx, val_idx, cfg.debug_train)
 
+    if cfg.mesh.tensor > 1:
+        # Fail here with the explanation rather than deep in make_step_fns.
+        raise ValueError(
+            "mesh.tensor > 1 is inference-only (eval_2 / serving); "
+            "training parallelism is mesh.data x mesh.spatial [+ fsdp] "
+            "(docs/PARALLELISM.md)"
+        )
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
     # Multi-host: each process feeds its own shard of the sample list.
     train_idx = host_shard_indices(train_idx)

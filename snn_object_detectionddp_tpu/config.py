@@ -134,6 +134,12 @@ class MeshConfig:
     # Uses the GSPMD sharding-annotation step, so like spatial it requires
     # a partitionable LIF path (not "pallas").
     fsdp: bool = False
+    # Tensor (channel) parallelism — INFERENCE ONLY: shard conv output
+    # channels + activations over this many devices per replica to cut
+    # single-image latency (the serving/streaming axis; training rejects
+    # it — docs/PARALLELISM.md). mesh = data x tensor devices. Like
+    # spatial/fsdp it requires a partitionable (non-Pallas) LIF path.
+    tensor: int = 1
     # --- multi-host (DCN) launch keys; None = single host. Env-var
     # fallbacks COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID let one
     # shared config.yaml drive every host of a pod slice
@@ -240,6 +246,13 @@ def _validate(obj) -> None:
     elif isinstance(obj, MeshConfig):
         if obj.spatial < 1:
             raise ValueError("mesh.spatial must be >= 1")
+        if obj.tensor < 1:
+            raise ValueError("mesh.tensor must be >= 1")
+        if obj.spatial > 1 and obj.tensor > 1:
+            raise ValueError(
+                "mesh.spatial and mesh.tensor cannot both exceed 1 "
+                "(untested composition; pick one model-parallel axis)"
+            )
     elif isinstance(obj, RuntimeConfig):
         if obj.precision not in ("bf16", "f32"):
             raise ValueError("runtime.precision must be 'bf16' or 'f32'")

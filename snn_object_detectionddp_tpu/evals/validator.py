@@ -74,17 +74,32 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
         )
     from ..parallel.mesh import (
         SPATIAL_AXIS,
+        TENSOR_AXIS,
         batch_specs,
         fold_sharding,
         replicate_sharding,
+        tp_param_shardings,
     )
 
     rep = replicate_sharding(mesh)
     img_sh = batch_specs(mesh)["images"]
-    # fold_sharding pins only matter (and only help) when a spatial axis
-    # splits activations; on a plain 1-D data mesh they would force a
-    # t-interleaved re-partitioning of every fold for nothing.
-    fold_mesh = mesh if SPATIAL_AXIS in mesh.axis_names else None
+    # Tensor axis: params shard their output-channel dims over it
+    # (inference-only channel parallelism — parallel/mesh.py::
+    # tp_param_shardings); otherwise params replicate.
+    params_sh = rep
+    if TENSOR_AXIS in mesh.axis_names:
+        params_sh = tp_param_shardings(
+            mesh, jax.eval_shape(detector.init_params, jax.random.PRNGKey(0))
+        )
+    # fold_sharding pins only matter (and only help) when a model axis
+    # (spatial or tensor) splits activations; on a plain 1-D data mesh
+    # they would force a t-interleaved re-partitioning of every fold for
+    # nothing.
+    fold_mesh = (
+        mesh
+        if (SPATIAL_AXIS in mesh.axis_names or TENSOR_AXIS in mesh.axis_names)
+        else None
+    )
 
     def predict_spmd(params, images_u8):
         # fold_sharding: pin the (T,B)->(T*B) fold shardings at trace time
@@ -93,7 +108,9 @@ def make_predict_fn(detector, conf=EVAL_CONF, iou=EVAL_IOU, max_det=EVAL_MAX_DET
         with fold_sharding(fold_mesh):
             return predict(params, images_u8)
 
-    return jax.jit(predict_spmd, in_shardings=(rep, img_sh), out_shardings=rep)
+    return jax.jit(
+        predict_spmd, in_shardings=(params_sh, img_sh), out_shardings=rep
+    )
 
 
 def evaluate_model(
@@ -112,17 +129,23 @@ def evaluate_model(
     bs = batch_size or cfg.training.batch_size
     if mesh is not None:
         from ..parallel.mesh import (
+            TENSOR_AXIS,
             data_axis_size,
             pad_batch_to_devices,
             replicate_sharding,
+            tp_param_shardings,
         )
 
         bs = pad_batch_to_devices(bs, data_axis_size(mesh))
-        # Replicate once up front: checkpoint-restored params are host
+        # Place once up front: checkpoint-restored params are host
         # numpy, and an uncommitted array would otherwise re-upload per
         # call; a default-device-committed one would error under
-        # in_shardings.
-        params = jax.device_put(params, replicate_sharding(mesh))
+        # in_shardings. Tensor meshes place each leaf channel-sharded
+        # (matching make_predict_fn's in_shardings).
+        if TENSOR_AXIS in mesh.axis_names:
+            params = jax.device_put(params, tp_param_shardings(mesh, params))
+        else:
+            params = jax.device_put(params, replicate_sharding(mesh))
     loader = BatchLoader(
         index,
         val_idx,

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+TENSOR_AXIS = "tensor"
 
 
 def init_distributed(
@@ -120,36 +121,50 @@ def is_main_process() -> bool:
 
 
 def make_mesh(
-    data: int = -1, spatial: int = 1, devices: list | None = None
+    data: int = -1,
+    spatial: int = 1,
+    tensor: int = 1,
+    devices: list | None = None,
 ) -> Mesh:
-    """Device mesh: 1-D ``data`` (default), or 2-D ``data x spatial``.
+    """Device mesh: 1-D ``data`` (default), 2-D ``data x spatial``, or 2-D
+    ``data x tensor``.
 
     ``spatial > 1`` adds a second axis that partitions the image-height
     dimension of activations (GSPMD spatial parallelism — XLA inserts the
-    conv halo exchanges). ``data=-1`` uses all visible devices divided by
-    ``spatial``. Keep the spatial axis innermost: ``mesh_utils`` maps the
-    trailing mesh dim onto the most tightly coupled ICI neighbors, which
-    is where the per-layer halo traffic should ride.
+    conv halo exchanges). ``tensor > 1`` instead partitions conv output
+    channels + activations channel-wise (inference-only tensor parallelism
+    — see :func:`tp_param_shardings`); the two are mutually exclusive.
+    ``data=-1`` uses all visible devices divided by the model axis. Keep
+    the model axis innermost: ``mesh_utils`` maps the trailing mesh dim
+    onto the most tightly coupled ICI neighbors, which is where the
+    per-layer halo/reduce traffic should ride.
     """
     devices = devices if devices is not None else jax.devices()
     spatial = max(int(spatial), 1)
+    tensor = max(int(tensor), 1)
+    if spatial > 1 and tensor > 1:
+        raise ValueError(
+            "mesh.spatial and mesh.tensor cannot both exceed 1"
+        )
+    model = spatial * tensor  # one of them is 1
     if data in (-1, 0):
-        if len(devices) % spatial:
+        if len(devices) % model:
             raise ValueError(
-                f"{len(devices)} visible devices not divisible by "
-                f"mesh.spatial={spatial}"
+                f"{len(devices)} visible devices not divisible by the "
+                f"model axis ({model})"
             )
-        data = len(devices) // spatial
-    n = data * spatial
+        data = len(devices) // model
+    n = data * model
     if n > len(devices):
         raise ValueError(
-            f"mesh {data}x{spatial}={n} exceeds {len(devices)} visible devices"
+            f"mesh {data}x{model}={n} exceeds {len(devices)} visible devices"
         )
-    if spatial == 1:
+    if model == 1:
         arr = mesh_utils.create_device_mesh((n,), devices=devices[:n])
         return Mesh(arr, (DATA_AXIS,))
-    arr = mesh_utils.create_device_mesh((data, spatial), devices=devices[:n])
-    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+    axis = SPATIAL_AXIS if spatial > 1 else TENSOR_AXIS
+    arr = mesh_utils.create_device_mesh((data, model), devices=devices[:n])
+    return Mesh(arr, (DATA_AXIS, axis))
 
 
 def data_axis_size(mesh: Mesh) -> int:
@@ -354,6 +369,49 @@ def state_is_host_readable(state) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Tensor (channel) parallelism — inference only
+# ---------------------------------------------------------------------------
+
+
+def tp_spec(shape: tuple, tp: int) -> P:
+    """Partition spec for one PARAMETER leaf under channel/tensor
+    parallelism: shard the trailing (output-channel/feature) dimension over
+    the ``tensor`` axis when divisible, else replicate.
+
+    Covers every parameter family in the model: conv kernels HWIO and
+    dense kernels IO shard their out-feature dim; 1-D leaves (biases,
+    GroupNorm scale/bias) shard their channel dim so the affine stays
+    aligned with the channel-sharded activations. Leaves whose trailing
+    dim does not divide ``tp`` (e.g. the class-branch final conv, out
+    channels = num_classes) stay replicated — GSPMD inserts the
+    gather/reshard where a replicated weight meets sharded activations."""
+    if tp <= 1 or not shape or shape[-1] % tp:
+        return P()
+    return P(*([None] * (len(shape) - 1) + [TENSOR_AXIS]))
+
+
+def tp_param_shardings(mesh: Mesh, params_template):
+    """NamedShardings for a parameter pytree under inference-time tensor
+    parallelism (per-leaf :func:`tp_spec` over the mesh's ``tensor`` axis).
+
+    FORWARD ONLY by design: the XLA SPMD partitioner's windowed-conv
+    *gradient* bookkeeping is the precise thing we caught miscompiling
+    three separate ways on 2-D meshes (docs/PARALLELISM.md), so training
+    rejects a tensor axis (train/step.py) and this sharding family is used
+    by the predict/eval/serving paths, where a channel-sharded forward
+    cuts the B=1 latency floor (the whole point of TP for serving). The
+    forward is GSPMD-semantics-preserving and is equivalence-tested on
+    CPU meshes (tests/test_tensor_parallel.py)."""
+    tp = mesh.shape.get(TENSOR_AXIS, 1)
+
+    def rule(leaf):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        return NamedSharding(mesh, tp_spec(shape, tp))
+
+    return jax.tree.map(rule, params_template)
+
+
+# ---------------------------------------------------------------------------
 # GSPMD fold-sharding constraints (spatial-parallel correctness)
 # ---------------------------------------------------------------------------
 
@@ -393,17 +451,27 @@ def fold_sharding(mesh: Mesh | None):
         _FOLD_MESH = prev
 
 
+def _tensor_axis_for(channels: int):
+    """The fold mesh's ``tensor`` axis name when active AND the channel
+    count divides it; else None (replicated channel dim)."""
+    if _FOLD_MESH is None or TENSOR_AXIS not in _FOLD_MESH.axis_names:
+        return None
+    if channels % _FOLD_MESH.shape[TENSOR_AXIS]:
+        return None
+    return TENSOR_AXIS
+
+
 def constrain_folded(x4):
-    """Pin a folded (T*B, H, W, C) activation to P(data, spatial) when a
+    """Pin a folded (T*B, H, W, C) activation to P(data, spatial) — or
+    P(data, None, None, tensor) under a tensor-parallel mesh — when a
     GSPMD fold mesh is active (see :func:`fold_sharding`); no-op
     otherwise."""
     if _FOLD_MESH is None:
         return x4
-    spec = (
-        P(DATA_AXIS, SPATIAL_AXIS)
-        if SPATIAL_AXIS in _FOLD_MESH.axis_names
-        else P(DATA_AXIS)
-    )
+    if SPATIAL_AXIS in _FOLD_MESH.axis_names:
+        spec = P(DATA_AXIS, SPATIAL_AXIS)
+    else:
+        spec = P(DATA_AXIS, None, None, _tensor_axis_for(x4.shape[-1]))
     return jax.lax.with_sharding_constraint(x4, NamedSharding(_FOLD_MESH, spec))
 
 
@@ -416,7 +484,10 @@ def constrain_tbc(x3):
     if _FOLD_MESH is None:
         return x3
     return jax.lax.with_sharding_constraint(
-        x3, NamedSharding(_FOLD_MESH, P(None, DATA_AXIS))
+        x3,
+        NamedSharding(
+            _FOLD_MESH, P(None, DATA_AXIS, _tensor_axis_for(x3.shape[-1]))
+        ),
     )
 
 
@@ -488,9 +559,10 @@ def constrain_tb(x5):
     conv-gradient bookkeeping goes wrong (see :func:`fold_sharding`)."""
     if _FOLD_MESH is None:
         return x5
-    spec = (
-        P(None, DATA_AXIS, SPATIAL_AXIS)
-        if SPATIAL_AXIS in _FOLD_MESH.axis_names
-        else P(None, DATA_AXIS)
-    )
+    if SPATIAL_AXIS in _FOLD_MESH.axis_names:
+        spec = P(None, DATA_AXIS, SPATIAL_AXIS)
+    else:
+        spec = P(
+            None, DATA_AXIS, None, None, _tensor_axis_for(x5.shape[-1])
+        )
     return jax.lax.with_sharding_constraint(x5, NamedSharding(_FOLD_MESH, spec))

@@ -21,6 +21,13 @@ Design for the TPU serving path:
   of the model: detections integrate the stream's history).
 - Fixed input geometry (the model's configured image size): the program
   set is compiled at warmup, no recompiles at serve time.
+- **Tensor-parallel latency mesh** (``mesh.tensor > 1`` in config): the
+  forward channel-shards over a 1 x tensor device mesh
+  (parallel/mesh.py::tp_param_shardings) so the B=1 step — the latency
+  floor no amount of batching can cut — splits across chips. Outputs and
+  recurrent states replicate, so the state registry, micro-batching, and
+  clip chaining are identical; inference-only by design
+  (docs/PARALLELISM.md).
 
 Endpoints (JSON):
   POST /detect  {"stream": "cam0", "image": <base64 png/jpg>}
@@ -72,7 +79,7 @@ class DetectionService:
     def __init__(self, detector, params, conf: float = 0.3, iou: float = 0.45,
                  max_det: int = 100, max_streams: int = 64,
                  max_batch: int = 8, reply_timeout_s: float = 120.0,
-                 max_clip: int = 8):
+                 max_clip: int = 8, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -81,11 +88,48 @@ class DetectionService:
         from .ops.nms import batched_nms
 
         self.detector = detector
+        # Optional tensor-parallel latency mesh (1 x tensor): conv output
+        # channels + activations shard over the ``tensor`` axis so the
+        # B=1 forward — the streaming latency floor (BASELINE.md) — splits
+        # across chips. Inference-only by design (parallel/mesh.py::
+        # tp_param_shardings); outputs and recurrent states replicate, so
+        # the per-stream state registry and micro-batching are unchanged.
+        self.mesh = mesh
+        self.tensor_parallel = 1
+        _fold_sharding = _rep = _params_sh = None
+        if mesh is not None:
+            from .parallel.mesh import (
+                TENSOR_AXIS,
+                data_axis_size,
+                fold_sharding,
+                replicate_sharding,
+                tp_param_shardings,
+            )
+
+            if TENSOR_AXIS not in mesh.axis_names or data_axis_size(mesh) != 1:
+                raise ValueError(
+                    "serve mesh must be a 1 x tensor latency mesh "
+                    "(parallel.mesh.make_mesh(1, tensor=k) — "
+                    "docs/PARALLELISM.md)"
+                )
+            if detector.cfg.runtime.lif_kernel == "pallas":
+                raise ValueError(
+                    "runtime.lif_kernel=pallas is not partitionable "
+                    "(opaque custom call); use the XLA LIF path for "
+                    "tensor-parallel serving"
+                )
+            self.tensor_parallel = mesh.shape[TENSOR_AXIS]
+            _fold_sharding = fold_sharding
+            _rep = replicate_sharding(mesh)
+            _params_sh = tp_param_shardings(mesh, params)
         # One-time device placement: checkpoint-restored params are host
         # numpy, and passing them to the jit per request re-uploads the
         # whole model every call (measured seconds/request through the
         # dev tunnel). Committed device arrays are reused by every call.
-        self.params = jax.device_put(params)
+        # Under a tensor mesh each leaf lands channel-sharded instead.
+        self.params = jax.device_put(
+            params, _params_sh
+        ) if mesh is not None else jax.device_put(params)
         self.max_streams = max_streams
         self.reply_timeout_s = reply_timeout_s
         h, w = detector.cfg.model.image_size
@@ -103,8 +147,7 @@ class DetectionService:
         self.batch_sizes.append(max_batch)
         self.max_batch = max_batch
 
-        @jax.jit
-        def predict(params, images_u8, rec_state):
+        def predict_impl(params, images_u8, rec_state):
             # images_u8: (K, H, W, 3) -> time-major (1, K, H, W, 3)
             frames = preprocess_video(
                 images_u8[:, None], dtype=detector.module.dtype
@@ -120,7 +163,25 @@ class DetectionService:
             )
             return out, new_state
 
-        self._predict = predict
+        def _jit(fn):
+            """jit a predict-shaped fn; under a tensor mesh, pin the fold
+            shardings at trace time (the same trace-time context the
+            spatial eval path uses) and make outputs + states replicated
+            so everything downstream of the jit is mesh-agnostic."""
+            if mesh is None:
+                return jax.jit(fn)
+
+            def spmd(params, images_u8, rec_state):
+                with _fold_sharding(mesh):
+                    return fn(params, images_u8, rec_state)
+
+            return jax.jit(
+                spmd,
+                in_shardings=(_params_sh, _rep, _rep),
+                out_shardings=_rep,
+            )
+
+        self._predict = predict = _jit(predict_impl)
 
         # Clip (chunk) program: T frames of ONE stream per dispatch, the
         # decoder/head running once on the folded (T*1) batch (all_steps
@@ -143,8 +204,7 @@ class DetectionService:
         # (the same monopolization the per-stream deferral cap prevents).
         self.max_clip_frames = max(8 * max_clip, 8)
 
-        @jax.jit
-        def predict_clip(params, images_u8, rec_state):
+        def predict_clip_impl(params, images_u8, rec_state):
             # images_u8: (T, H, W, 3) -> window (T, 1, H, W, 3)
             frames = preprocess_video(
                 images_u8[None], dtype=detector.module.dtype
@@ -160,7 +220,7 @@ class DetectionService:
             )
             return out, new_state
 
-        self._predict_clip = predict_clip
+        self._predict_clip = _jit(predict_clip_impl)
         # Fresh-stream state: the model zero-inits recurrent state on the
         # first step (state=None), so a zeros pytree of the state structure
         # is the exact first-frame state; eval_shape gives the structure
@@ -171,8 +231,12 @@ class DetectionService:
             self.params,
             jax.ShapeDtypeStruct((1, h, w, 3), jnp.uint8),
         )
-        self._zero_state1 = jax.device_put(
-            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+        # Replicated-on-mesh under TP, so the eager stack/slice helpers and
+        # the registry see one uniform sharding; default device otherwise.
+        self._zero_state1 = (
+            jax.device_put(zeros, _rep) if mesh is not None
+            else jax.device_put(zeros)
         )
         # Per-leaf BATCH AXIS of the recurrent state, inferred by diffing
         # the state structure at B=1 vs B=2: batch is axis 0 for conv-style
@@ -607,7 +671,8 @@ def make_handler(service: DetectionService):
                 import jax
 
                 self._json(200, {"ok": True, "streams": service.num_streams,
-                                 "backend": jax.default_backend()})
+                                 "backend": jax.default_backend(),
+                                 "tensor_parallel": service.tensor_parallel})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -676,8 +741,26 @@ def serve(cfg, weights: str | None, port: int = 8000, max_batch: int = 8,
     else:
         params = detector.init_params(jax.random.PRNGKey(0))
         print("WARNING: serving a fresh random init (no --weights)", flush=True)
+    # mesh.tensor > 1: channel-shard the forward over a 1 x tensor latency
+    # mesh (inference-only TP — docs/PARALLELISM.md). Like eval_2, fall
+    # back rather than fail when the configured LIF path cannot partition.
+    mesh = None
+    if cfg.mesh.tensor > 1:
+        if cfg.runtime.lif_kernel == "pallas":
+            print(
+                "NOTE: runtime.lif_kernel=pallas is not partitionable; "
+                "serving single-device (mesh.tensor ignored)", flush=True,
+            )
+        else:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(1, tensor=cfg.mesh.tensor)
+            print(
+                f"tensor-parallel serving over {cfg.mesh.tensor} devices",
+                flush=True,
+            )
     service = DetectionService(
-        detector, params, max_batch=max_batch, max_clip=max_clip
+        detector, params, max_batch=max_batch, max_clip=max_clip, mesh=mesh
     ).start()
     print("compiling serving programs...", flush=True)
     service.warmup()

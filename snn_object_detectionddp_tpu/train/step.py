@@ -129,6 +129,17 @@ def make_step_fns(
             "fsdp=True requires a device mesh (mesh.fsdp shards the train "
             "state over the mesh's data axis); pass mesh= or disable fsdp"
         )
+    if mesh is not None and "tensor" in mesh.axis_names:
+        # Channel/tensor parallelism is a forward-only (predict/eval/
+        # serving) axis: the XLA SPMD partitioner's windowed-conv GRADIENT
+        # bookkeeping is exactly what we measured miscompiling on 2-D
+        # meshes (docs/PARALLELISM.md), and training scale-out is already
+        # covered by data x spatial x fsdp. See
+        # parallel/mesh.py::tp_param_shardings.
+        raise ValueError(
+            "mesh.tensor > 1 is inference-only (eval/serving latency); "
+            "training supports data/spatial/fsdp parallelism"
+        )
     cfg = detector.cfg
     loss_fn = DetectionLoss(cfg.model.num_classes, cfg.model.hyp)
     # Honor runtime.precision end-to-end: the preprocessing stage emits the

@@ -119,3 +119,21 @@ def test_cli_train_resume_fsdp_spatial_mesh(tmp_path_factory):
     cfg.training.epochs = 2
     main_mod.train_code(cfg, detector)
     assert (save_dir / "latest.pt").exists()
+
+
+def test_cli_eval_tensor_parallel_mesh(e2e_cfg):
+    """eval_2 through the real CLI path on a data x tensor mesh
+    (``mesh.tensor`` in config — the inference-only channel-parallel
+    axis, docs/PARALLELISM.md). Reuses the checkpoint written by the
+    first e2e test."""
+    import eval_2
+
+    cfg = e2e_cfg
+    if not (Path(cfg.training.save_dir) / "best.pt").exists():
+        pytest.skip("requires the checkpoint from the train e2e test")
+    cfg.mesh.tensor = 2
+    try:
+        results = eval_2.evaluate(cfg)
+    finally:
+        cfg.mesh.tensor = 1
+    assert np.isfinite(results["metrics/mAP50(B)"])

@@ -523,3 +523,113 @@ def test_detect_after_stop_raises():
     svc.stop()
     with pytest.raises(RuntimeError, match="not running"):
         svc.detect("x", np.zeros((32, 32, 3), np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel serving (mesh.tensor — inference-only channel parallelism)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tp_pair():
+    """A plain service and a tensor-parallel (1x2 mesh) service sharing one
+    set of params. f32 for the same reason as tests/test_tensor_parallel.py:
+    sharded reductions reassociate sums, and in bf16 that epsilon can flip
+    a LIF spike, turning equivalence statistical."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+    from snn_object_detectionddp_tpu.serve import DetectionService
+
+    cfg = Config()
+    cfg.model.num_classes = 3
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.image_size = (64, 64)
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(3))
+    plain = DetectionService(
+        det, params, conf=0.0, max_det=8, max_batch=2, max_clip=4
+    ).start()
+    mesh = make_mesh(1, tensor=2, devices=jax.devices()[:2])
+    tp = DetectionService(
+        det, params, conf=0.0, max_det=8, max_batch=2, max_clip=4, mesh=mesh
+    ).start()
+    yield plain, tp
+    plain.stop()
+    tp.stop()
+
+
+def test_tp_service_matches_plain_with_state_chain(tp_pair):
+    """Channel-sharded serving must return the plain service's detections
+    frame after frame — including through the carried recurrent state."""
+    plain, tp = tp_pair
+    assert tp.tensor_parallel == 2
+    for i in range(3):
+        a = plain.detect("s", _frame(40 + i))
+        b = tp.detect("s", _frame(40 + i))
+        assert b["classes"] == a["classes"]
+        # Replies round scores to 4 / boxes to 2 decimals; tolerances sit
+        # just above that grid plus the f32 reassociation epsilon.
+        assert b["scores"] == pytest.approx(a["scores"], abs=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(b["boxes"]), np.asarray(a["boxes"]), atol=0.05
+        )
+
+
+def test_tp_clip_matches_plain(tp_pair):
+    plain, tp = tp_pair
+    clip = np.stack([_frame(50 + i) for i in range(5)])  # chunks 4 + 1
+    a = plain.detect_clip("c", clip)
+    b = tp.detect_clip("c", clip)
+    assert b["chunks"] == a["chunks"] == 2
+    for x, y in zip(a["frames"], b["frames"]):
+        assert y["classes"] == x["classes"]
+        assert y["scores"] == pytest.approx(x["scores"], abs=5e-4)
+
+
+def test_tp_batched_program_matches_plain(tp_pair):
+    """The micro-batched (B=2, two fresh streams) TP program against the
+    plain one — the cross-stream batching path under channel sharding."""
+    import jax
+
+    plain, tp = tp_pair
+    imgs = np.stack([_frame(60), _frame(61)])
+    out_p, _ = plain._predict(
+        plain.params, imgs, plain._stack_states([plain._zero_state1] * 2)
+    )
+    out_t, _ = tp._predict(
+        tp.params, imgs, tp._stack_states([tp._zero_state1] * 2)
+    )
+    out_p, out_t = jax.device_get((out_p, out_t))
+    np.testing.assert_array_equal(out_p["valid"], out_t["valid"])
+    v = out_p["valid"]
+    np.testing.assert_array_equal(out_p["classes"][v], out_t["classes"][v])
+    np.testing.assert_allclose(
+        out_p["scores"][v], out_t["scores"][v], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tp_service_rejects_wrong_mesh():
+    """A plain data mesh is not a serving mesh (no tensor axis)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh
+    from snn_object_detectionddp_tpu.serve import DetectionService
+
+    cfg = Config()
+    cfg.model.num_classes = 2
+    cfg.model.yolo_model_name = "yolo11n.pt"
+    cfg.model.width_mult = 0.25
+    cfg.model.hyp.reg_max = 8
+    cfg.model.image_size = (32, 32)
+    det = Detector.from_config(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="1 x tensor"):
+        DetectionService(
+            det, params, mesh=make_mesh(2, devices=jax.devices()[:2])
+        )
