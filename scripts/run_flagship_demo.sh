@@ -18,8 +18,27 @@ ATTEMPTS=0
 while true; do
   until relay_up; do sleep 60; done
   echo "[launcher $(date -u +%FT%TZ)] relay up, starting training (attempt $((++ATTEMPTS)))" | tee -a "$LOG"
-  PYTHONPATH=/root/.axon_site:/root/repo timeout 21600 \
-    python main.py --config scripts/flagship_demo.yaml >>"$LOG" 2>&1
+  # setsid: own process group so the watchdog can kill timeout AND the
+  # (possibly futex-hung) python under it in one group signal.
+  PYTHONPATH=/root/.axon_site:/root/repo setsid timeout 21600 \
+    python main.py --config scripts/flagship_demo.yaml >>"$LOG" 2>&1 &
+  TPID=$!
+  # Relay watchdog: a mid-run relay death leaves the jax client hung on
+  # futexes (never exits on its own — see BASELINE.md tunnel notes); kill
+  # training after 5 consecutive down-checks instead of burning the full
+  # 6 h timeout, then loop back to the relay wait (resume is idempotent).
+  DOWN=0
+  while kill -0 "$TPID" 2>/dev/null; do
+    sleep 60
+    if relay_up; then DOWN=0; else
+      DOWN=$((DOWN+1))
+      if [ "$DOWN" -ge 5 ]; then
+        echo "[launcher $(date -u +%FT%TZ)] relay down 5 min, killing training" | tee -a "$LOG"
+        kill -- -"$TPID" 2>/dev/null; sleep 10; kill -9 -- -"$TPID" 2>/dev/null
+      fi
+    fi
+  done
+  wait "$TPID"
   rc=$?
   echo "[launcher $(date -u +%FT%TZ)] training exited rc=$rc" | tee -a "$LOG"
   [ "$rc" -eq 0 ] && break
@@ -31,6 +50,16 @@ done
 # round's bench refresh (headline + streaming incl. the chunk4 row). Each
 # guarded by a relay check and a timeout so a mid-run relay death cannot
 # hang the launcher. Device lock serializes these — keep them sequential.
+#
+# Partial-run fallback: training saves every 5 epochs; if the run died
+# before any val improvement was checkpointed, promote latest.pt so the
+# eval/visualize steps (which load best.pt) still produce demo evidence.
+if [ ! -f runs/flagship_demo/exp/best.pt ] \
+   && [ -f runs/flagship_demo/exp/latest.pt ]; then
+  echo "[launcher $(date -u +%FT%TZ)] no best.pt; promoting latest.pt" \
+    | tee -a "$LOG"
+  cp runs/flagship_demo/exp/latest.pt runs/flagship_demo/exp/best.pt
+fi
 if [ -f runs/flagship_demo/exp/best.pt ]; then
   if relay_up; then
     echo "[launcher $(date -u +%FT%TZ)] running eval_2 on flagship best.pt" | tee -a "$LOG"
@@ -54,14 +83,16 @@ if [ -f runs/flagship_demo/exp/best.pt ]; then
       >> runs/flagship_demo/viz.log 2>&1
     echo "[launcher $(date -u +%FT%TZ)] video rc=$?" | tee -a "$LOG"
   fi
-  if relay_up; then
-    echo "[launcher $(date -u +%FT%TZ)] running bench refresh" | tee -a "$LOG"
-    PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
-      python bench.py > runs/flagship_demo/bench_headline.json 2> runs/flagship_demo/bench_headline.log
-    echo "[launcher $(date -u +%FT%TZ)] bench rc=$?" | tee -a "$LOG"
-    PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
-      python bench.py --streaming > runs/flagship_demo/bench_streaming.json 2> runs/flagship_demo/bench_streaming.log
-    echo "[launcher $(date -u +%FT%TZ)] bench --streaming rc=$?" | tee -a "$LOG"
-  fi
+fi
+# Bench refresh runs whenever the relay is up — it needs no checkpoint,
+# and the streaming chunk4 row is a pending BASELINE.md item on its own.
+if relay_up; then
+  echo "[launcher $(date -u +%FT%TZ)] running bench refresh" | tee -a "$LOG"
+  PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
+    python bench.py > runs/flagship_demo/bench_headline.json 2> runs/flagship_demo/bench_headline.log
+  echo "[launcher $(date -u +%FT%TZ)] bench rc=$?" | tee -a "$LOG"
+  PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
+    python bench.py --streaming > runs/flagship_demo/bench_streaming.json 2> runs/flagship_demo/bench_streaming.log
+  echo "[launcher $(date -u +%FT%TZ)] bench --streaming rc=$?" | tee -a "$LOG"
 fi
 echo "[launcher $(date -u +%FT%TZ)] all done" | tee -a "$LOG"
