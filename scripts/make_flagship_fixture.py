@@ -4,9 +4,11 @@ Builds the dataset tree `scripts/flagship_demo.yaml` points at
 (`runs/flagship_demo/dsec/{train,test}`): 30 training sequences at the
 full flagship 480x640 geometry plus a small test split for the
 visualize/video stage. Sequence length 24 frames -> 20 sliding-window
-samples per sequence at seq_len=5 (600 train samples, 37 steps/epoch at
-batch 16). Idempotent: skips generation when the tree already exists so
-the relay-gated launcher can re-run it safely.
+samples per sequence at seq_len=5: 600 samples total, of which main.py's
+seeded sequence-level 80/20 split keeps 24 sequences (480 samples) for
+training -> 30 steps/epoch at batch 16 with drop_last. Idempotent: skips
+generation when the tree already exists; run_flagship_demo.sh invokes it
+before training so the relay-gated launcher can re-run safely.
 
 Reference layout contract: /root/reference/dataset.py:28-48.
 """

@@ -10,6 +10,9 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=runs/flagship_demo/train.log
 mkdir -p runs/flagship_demo
+# Fixture generation is idempotent (no-op when .fixture_done exists) and
+# needs no TPU — run it before the relay gate so a fresh checkout works.
+python scripts/make_flagship_fixture.py | tail -1 | tee -a "$LOG"
 
 relay_up() { timeout 2 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null; }
 
