@@ -146,21 +146,30 @@ def measure(batch: int, iters: int) -> dict:
 
     train_s = _timeit(step, lambda m: float(jax.device_get(m["loss"])), iters)
 
-    # MFU vs the v5e bf16 peak, from XLA's own cost model for the compiled
-    # forward (same method as utils.profiling.flops_of / BASELINE.md).
-    mfu = None
-    if jax.default_backend() == "tpu":
+    # MFU vs the v5e bf16 peak, from XLA's own cost model for BOTH
+    # compiled programs (same method as utils.profiling.flops_of /
+    # BASELINE.md). The train program's figure (VERDICT r3 weak #1) uses
+    # the same peak: fwd+bwd+update FLOPs per wall-second of one step.
+    def _flops_of(lowerable, *args):
         try:
-            cost = infer.lower(params, images).compile().cost_analysis()
+            cost = lowerable.lower(*args).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-            if flops:
-                mfu = (flops / infer_s) / _V5E_BF16_PEAK_FLOPS
+            return float(cost.get("flops", 0.0)) or None
         except Exception:
-            pass
+            return None
 
     frames = batch * T
+    mfu = train_mfu = None
+    train_flops = None
+    if jax.default_backend() == "tpu":
+        flops = _flops_of(infer, params, images)
+        if flops:
+            mfu = (flops / infer_s) / _V5E_BF16_PEAK_FLOPS
+        train_flops = _flops_of(fns.train_step, holder["state"], train_batch)
+        if train_flops:
+            train_mfu = (train_flops / train_s) / _V5E_BF16_PEAK_FLOPS
+
     return {
         "backend": jax.default_backend(),
         "batch": batch,
@@ -169,6 +178,8 @@ def measure(batch: int, iters: int) -> dict:
         "inference_ms": infer_s * 1e3,
         "train_step_ms": train_s * 1e3,
         "mfu": mfu,
+        "train_mfu": train_mfu,
+        "train_flops_per_frame": train_flops / frames if train_flops else None,
     }
 
 
@@ -582,8 +593,13 @@ if __name__ == "__main__":
     ap.add_argument(
         "--serving",
         action="store_true",
-        help="also measure concurrent-stream serving qps through "
-        "DetectionService (cross-stream micro-batching)",
+        help="(kept for compatibility; serving now runs by default) "
+        "measure concurrent-stream serving qps through DetectionService",
+    )
+    ap.add_argument(
+        "--no-serving",
+        action="store_true",
+        help="skip the serving measurement (headline-only quick run)",
     )
     ap.add_argument("--longt-probe", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -647,12 +663,24 @@ if __name__ == "__main__":
     }
     if res.get("mfu") is not None:
         report["mfu"] = round(res["mfu"], 4)
+    if res.get("train_mfu") is not None:
+        report["train_mfu"] = round(res["train_mfu"], 4)
+    if res.get("train_flops_per_frame"):
+        report["train_gflops_per_frame"] = round(
+            res["train_flops_per_frame"] / 1e9, 2
+        )
     if pipeline_fps is not None:
         report["eval_pipeline_fps"] = round(pipeline_fps, 2)
     if args.streaming:
         report.update(measure_streaming())
-    if args.serving:
-        report.update(measure_serving())
+    if args.serving or not args.no_serving:
+        # Serving is part of the default JSON line (VERDICT r3 #6) so
+        # round-over-round regression tracking covers the serving path;
+        # guarded so a serving failure cannot take down the headline line.
+        try:
+            report.update(measure_serving())
+        except Exception as e:
+            report["serving_error"] = f"{type(e).__name__}: {e}"
     if args.longt:
         report["longt"] = longt_table()
     print(json.dumps(report))

@@ -95,6 +95,17 @@ def train_code(cfg, detector: Detector) -> None:
     )
 
     total_steps = len(train_loader) * cfg.training.epochs
+    frozen_mask = None
+    if cfg.model.freeze_backbone:
+        if cfg.training.param_groups:
+            raise ValueError(
+                "model.freeze_backbone cannot combine with "
+                "training.param_groups (pick one optimizer structure)"
+            )
+        from snn_object_detectionddp_tpu.train.step import module_frozen_mask
+
+        frozen_mask = module_frozen_mask("backbone")
+        print("Backbone frozen: zero updates + no weight decay on backbone.")
     if cfg.training.param_groups:
         # Discriminative LR groups need concrete params for labeling.
         from snn_object_detectionddp_tpu.train.param_groups import (
@@ -117,6 +128,7 @@ def train_code(cfg, detector: Detector) -> None:
             weight_decay=cfg.training.weight_decay,
             grad_clip_norm=cfg.training.grad_clip_norm,
             pct_start=cfg.training.pct_start,
+            frozen_mask=frozen_mask,
         )
     if cfg.runtime.debug_nans:
         from snn_object_detectionddp_tpu.utils.debug import enable_nan_debugging
@@ -134,10 +146,21 @@ def train_code(cfg, detector: Detector) -> None:
     template_state = jax.eval_shape(
         lambda r: init_state(detector.init_params(r), tx, schedule), rng
     )
+    def fresh_init():
+        params = detector.init_params(rng)
+        if cfg.model.backbone_init:
+            # Backbone transfer (reference's pretrained-extractor role,
+            # model.py:74-98): fresh starts only — a resumed checkpoint
+            # already carries trained backbone weights.
+            from snn_object_detectionddp_tpu.train.checkpoint import (
+                load_backbone_params,
+            )
+
+            params = load_backbone_params(cfg.model.backbone_init, params)
+        return init_state(params, tx, schedule)
+
     state, start_epoch, best = resume_or_init(
-        cfg,
-        template_state,
-        init_fn=lambda: init_state(detector.init_params(rng), tx, schedule),
+        cfg, template_state, init_fn=fresh_init
     )
     if cfg.mesh.fsdp:
         # Start sharded (1/data of every weight + moment per device) rather

@@ -115,6 +115,17 @@ class ModelConfig:
     # use_conv_lstm when absent
     width_mult: float = 1.0  # backbone width scale on top of the preset
     stem: str = "s2d4"  # "s2d4" (one-shot 4x4 space-to-depth) | "s2d" | "conv"
+    # Backbone transfer (the TPU counterpart of the reference's frozen
+    # pretrained feature extractor, reference: model.py:74-98): path to a
+    # checkpoint (latest.pt/best.pt from a prior run) whose BACKBONE params
+    # initialize a fresh run (shape-checked partial restore; ignored when
+    # resume_training restores a full state). Empty/None = scratch init.
+    backbone_init: str | None = None
+    # Freeze the backbone during training: backbone leaves get zero
+    # updates (optax.masked set_to_zero on their grads + weight decay
+    # masked off), mirroring the reference's frozen extractor semantics
+    # (reference: model.py:84-86, always-eval backbone).
+    freeze_backbone: bool = False
 
 
 @dataclass

@@ -35,7 +35,11 @@ from ..data.dsec import DSECIndex
 from ..data.encoding import preprocess_video
 from ..models.detect import decode_predictions
 from ..ops.nms import batched_nms
-from .flow import get_optical_flow, update_bounding_boxes
+from .flow import (
+    flow_flops_per_frame,
+    get_optical_flow,
+    update_bounding_boxes,
+)
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -83,10 +87,11 @@ def model_flops(predict_fn, example_args) -> float:
         return 0.0
 
 
-# Rough per-pixel FLOPs of Farneback flow (polynomial expansion + pyramid),
-# for the blended-FLOPs report; the reference measured its flow FLOPs with
-# torch.profiler on a learned model instead (utils.py:391-405).
-FARNEBACK_FLOPS_PER_PIXEL = 600.0
+# Flow FLOPs for the blended report come from evals/flow.py:
+# flow_flops_per_frame — XLA cost analysis for the learned model
+# (method "model"), an operation-count derivation for Farneback
+# (farneback_flops_per_pixel; the reference measured its learned-flow
+# FLOPs with torch.profiler instead, utils.py:391-405).
 
 
 def _crop_hw(h_img: int, w_img: int) -> tuple[int, int]:
@@ -182,7 +187,6 @@ def process_sequence(
     det_count = 0
     crop_det_count = 0  # subset of det_count that ran the cropped program
     flow_count = 0
-    flow_pixels = 0
     rec_state = None
     prev_frame = None
     boxes = np.zeros((0, 4), np.float32)
@@ -259,7 +263,6 @@ def process_sequence(
             )
             boxes = update_bounding_boxes(boxes, flow)
             flow_count += 1
-            flow_pixels += frame.shape[0] * frame.shape[1] * (flow_downsample**2)
         compute_time += time.perf_counter() - t0
 
         detections.append(boxes.copy())
@@ -294,7 +297,18 @@ def process_sequence(
             m_flops_crop = model_flops(
                 predict_crop, (params, np.zeros((1, ch, cw, 3), np.uint8))
             )
-    flow_flops = flow_pixels * FARNEBACK_FLOPS_PER_PIXEL
+    # All frames of a sequence share one geometry, so one per-frame figure
+    # (measured via cost analysis for "model", derived for farneback)
+    # times the flow-frame count is exact.
+    flow_flops = (
+        flow_count
+        * flow_flops_per_frame(
+            flow_method, prev_frame.shape[0], prev_frame.shape[1],
+            flow_downsample,
+        )
+        if flow_count
+        else 0.0
+    )
     det_flops = (
         (det_count - crop_det_count) * m_flops + crop_det_count * m_flops_crop
     )
@@ -310,6 +324,7 @@ def process_sequence(
         "retrieval_time_s": retrieval_time,
         "compute_time_s": compute_time,
         "model_flops": m_flops,
+        "flow_flops": flow_flops,
         "blended_flops_per_frame": blended,
         "det_count": det_count,
         "crop_det_count": crop_det_count,

@@ -187,6 +187,80 @@ def load_checkpoint(path: str | Path, template_state: dict) -> dict:
         return out
 
 
+def load_backbone_params(
+    path: str | Path, template_params: dict, subtree: str = "backbone"
+) -> dict:
+    """Shape-checked partial restore of one top-level param subtree.
+
+    The TPU counterpart of the reference's pretrained-feature transfer
+    (reference: model.py:74-98 loads frozen COCO YOLO11m weights): load only
+    ``params[subtree]`` from a checkpoint written by this repo into freshly
+    initialized params, leaving every other module (unet, head) at its
+    fresh init. Returns a NEW params dict. Raises with an actionable
+    message when the checkpoint lacks the subtree or any leaf's shape
+    disagrees with the template (e.g. a different width preset).
+    """
+    if subtree not in template_params:
+        raise ValueError(
+            f"template params have no '{subtree}' subtree; "
+            f"top-level keys: {sorted(template_params)}"
+        )
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    raw_params = (raw.get("state") or {}).get("params")
+    if raw_params is None:
+        raise ValueError(
+            f"checkpoint '{path}' has no state/params tree "
+            "(not a checkpoint written by this repo?)"
+        )
+    raw_sub = raw_params.get(subtree)
+    if raw_sub is None:
+        raise ValueError(
+            f"checkpoint '{path}' has no '{subtree}' params; "
+            f"top-level keys: {sorted(raw_params)}"
+        )
+    template_sub = template_params[subtree]
+    raw_sub, migrated = _migrate_legacy_gn(raw_sub, template_sub)
+    if migrated:
+        print(
+            f"NOTE: migrated {migrated} legacy GroupNorm_0 groups in the "
+            f"restored {subtree} params."
+        )
+    try:
+        restored = serialization.from_state_dict(template_sub, raw_sub)
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint '{path}' {subtree} structure does not match this "
+            f"model (different depth/preset?): {e}"
+        ) from e
+    # from_state_dict matches structure only; verify shapes leaf-by-leaf so
+    # a width mismatch fails HERE with the leaf name, not as a shape error
+    # deep inside the first jitted step.
+    t_leaves = jax.tree_util.tree_flatten_with_path(template_sub)[0]
+    r_leaves = jax.tree_util.tree_flatten_with_path(restored)[0]
+    bad = [
+        (jax.tree_util.keystr(kp), tuple(tv.shape), tuple(rv.shape))
+        for (kp, tv), (_, rv) in zip(t_leaves, r_leaves)
+        if tuple(tv.shape) != tuple(rv.shape)
+    ]
+    if bad:
+        detail = "; ".join(
+            f"{name}: expected {ts}, checkpoint has {rs}"
+            for name, ts, rs in bad[:5]
+        )
+        raise ValueError(
+            f"checkpoint '{path}' {subtree} shapes do not match this model "
+            f"({len(bad)} mismatched leaves — different width preset / "
+            f"width_mult?): {detail}"
+        )
+    print(
+        f"Initialized {subtree} from '{path}' "
+        f"({len(r_leaves)} param leaves)."
+    )
+    out = dict(template_params)
+    out[subtree] = restored
+    return out
+
+
 def resume_or_init(
     cfg, template_state: dict, init_fn=None
 ) -> tuple[dict, int, float]:

@@ -28,6 +28,7 @@ def make_optimizer(
     weight_decay: float = 5e-4,
     grad_clip_norm: float = 10.0,
     pct_start: float = 0.3,
+    frozen_mask=None,
 ):
     """AdamW + OneCycle with *dynamic* schedule constants.
 
@@ -36,13 +37,39 @@ def make_optimizer(
     / peak LR never recompiles the train step (each recompile costs minutes
     on this host). Returns (tx, schedule) where ``schedule`` is a host-side
     callable (for logging) that also carries ``.consts``.
+
+    ``frozen_mask``: optional bool pytree (or params -> bool-pytree
+    callable, True = frozen) for fine-tuning with frozen modules
+    (model.freeze_backbone — the reference's frozen-extractor semantics,
+    reference: model.py:84-86). Frozen leaves get exactly-zero updates:
+    their grads are zeroed before clipping (so the clip norm reflects only
+    trainable grads) AND AdamW's decoupled weight decay is masked off them
+    (zero grads alone would still decay frozen weights toward 0).
     """
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip_norm),
-        optax.inject_hyperparams(optax.adamw)(
+    chain = []
+    wd_mask = None
+    if frozen_mask is not None:
+        chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
+        if callable(frozen_mask):
+            wd_mask = lambda params: jax.tree.map(  # noqa: E731
+                lambda f: not f, frozen_mask(params)
+            )
+        else:
+            wd_mask = jax.tree.map(lambda f: not f, frozen_mask)
+    chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    # `mask` must be declared static: inject_hyperparams interprets any
+    # CALLABLE kwarg as a step-count schedule and would call the mask
+    # builder with the optimizer step integer.
+    if wd_mask is None:
+        adamw = optax.inject_hyperparams(optax.adamw)(
             learning_rate=0.0, weight_decay=weight_decay
-        ),
-    )
+        )
+    else:
+        adamw = optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+            learning_rate=0.0, weight_decay=weight_decay, mask=wd_mask
+        )
+    chain.append(adamw)
+    tx = optax.chain(*chain)
 
     class _Schedule:
         consts = (float(max(total_steps, 1)), float(peak_lr), float(pct_start))
@@ -51,6 +78,22 @@ def make_optimizer(
             return onecycle_lr(step, *self.consts)
 
     return tx, _Schedule()
+
+
+def module_frozen_mask(subtree: str):
+    """``params -> bool pytree`` callable marking one top-level module
+    (e.g. ``"backbone"``) frozen, for :func:`make_optimizer`'s
+    ``frozen_mask``. Callable form: the mask is built lazily from whatever
+    params/updates tree optax hands it, so no concrete params are needed
+    at optimizer-construction time."""
+
+    def mask(params):
+        return {
+            k: jax.tree.map(lambda _: k == subtree, v)
+            for k, v in params.items()
+        }
+
+    return mask
 
 
 def init_state(

@@ -8,6 +8,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI e2e runs
+
 sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root for main.py
 
 from snn_object_detectionddp_tpu.config import Config

@@ -158,6 +158,7 @@ def test_fsdp_matches_single_device(setup):
     )
 
 
+@pytest.mark.slow
 def test_fsdp_composes_with_spatial_and_accum(setup):
     """FSDP + spatial (2-D mesh) + grad accumulation in one program must
     still reproduce the single-device step (remat_chunk required by the

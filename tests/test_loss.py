@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from snn_object_detectionddp_tpu.losses.detection import detection_loss
 
@@ -92,6 +93,7 @@ def test_confident_background_lowers_cls_loss():
     assert l_neg < l_zero
 
 
+@pytest.mark.slow
 def test_sample_mask_padded_batch_equals_unpadded():
     """A final partial batch is padded by duplicating the last real image
     with zeroed labels (data/pipeline.py); with sample_mask those padding

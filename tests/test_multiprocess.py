@@ -10,6 +10,7 @@ assembly with a jitted cross-process reduction.
 
 import os
 import socket
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -54,6 +55,7 @@ def test_two_process_distributed_data_path():
         assert f"MP_OK pid={i}" in out, out
 
 
+@pytest.mark.slow
 def test_two_process_cli_train_end_to_end(tmp_path):
     """VERDICT r2 missing #4: multi-host must be launchable through the
     real CLI path — a shared config.yaml carrying mesh.coordinator /

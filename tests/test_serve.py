@@ -395,6 +395,7 @@ def test_timed_out_job_never_executes(service):
     service.reset("to_other")
 
 
+@pytest.mark.slow
 def test_lstm_bottleneck_micro_batching():
     """The token-LSTM bottleneck's recurrent carry batches on axis 1
     (num_layers, B, hidden) — stacking/slicing per-stream states must use
@@ -432,6 +433,7 @@ def test_lstm_bottleneck_micro_batching():
         svc.stop()
 
 
+@pytest.mark.slow
 def test_concurrent_streams_fuzz_match_serial_oracle(service):
     """Randomized interleaving stress for the worker's batching/deferral
     logic: 4 streams each run a fixed mixed sequence of single frames and
@@ -505,6 +507,7 @@ def test_concurrent_streams_fuzz_match_serial_oracle(service):
             service.reset(f"fz{s}")
 
 
+@pytest.mark.slow
 def test_detect_after_stop_raises():
     import jax
 

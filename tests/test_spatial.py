@@ -84,6 +84,7 @@ def test_batch_specs_spatial_axis():
     assert specs1["images"].spec == P("data")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("geom", [(4, 2)])
 def test_spatial_matches_single_device(setup, geom):
     """One train step on a data x spatial mesh must reproduce the
@@ -138,6 +139,7 @@ def test_spatial_matches_single_device(setup, geom):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_spatial_composes_with_accum_and_remat(setup):
     """The GSPMD spatial path wraps the SAME _train_step body as the
     single-device jit, so grad accumulation and chunked BPTT remat must
@@ -184,6 +186,7 @@ def test_spatial_train_requires_remat(setup):
         make_step_fns(det, tx, schedule, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_spatial_mild_padding_matches_single_device(setup):
     """Uneven spatial shards with >=1 real row each (here H=96: the
     stride-32 scale has 3 rows over spatial=2, so one shard carries a
@@ -217,6 +220,7 @@ def test_spatial_mild_padding_matches_single_device(setup):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bottleneck", ["lstm", "lif"])
 def test_spatial_alt_bottlenecks_match_single_device(bottleneck):
     """The non-default bottlenecks must also be GSPMD-exact on a spatial
@@ -309,6 +313,7 @@ def test_spatial_train_rejects_oversharded_height(setup):
         fns.train_step(state, shard_batch(batch, mesh))
 
 
+@pytest.mark.slow
 def test_spatial_eval_matches_single_device(setup):
     import jax
 
@@ -329,6 +334,7 @@ def test_spatial_eval_matches_single_device(setup):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_spatial_predict_matches_single_device(setup):
     """Eval/NMS predict under a data x spatial mesh must reproduce the
     single-device predict: same valid mask, same kept boxes/scores

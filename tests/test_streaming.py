@@ -24,7 +24,10 @@ def det_and_params():
     return det, params
 
 
-@pytest.mark.parametrize("bottleneck", ["convlstm", "lif", "lstm"])
+@pytest.mark.parametrize(
+    "bottleneck",
+    [pytest.param("convlstm", marks=pytest.mark.slow), "lif", "lstm"],
+)
 def test_window_equals_streaming(det_and_params, bottleneck):
     cfg = Config()
     cfg.model.num_classes = 2
@@ -51,7 +54,10 @@ def test_window_equals_streaming(det_and_params, bottleneck):
         )
 
 
-@pytest.mark.parametrize("bottleneck", ["convlstm", "lif", "lstm"])
+@pytest.mark.parametrize(
+    "bottleneck",
+    [pytest.param("convlstm", marks=pytest.mark.slow), "lif", "lstm"],
+)
 def test_all_steps_equals_streaming(bottleneck):
     """Chunked streaming (all_steps=True): ONE T-frame call must emit the
     SAME per-frame detection maps as T chained single-frame calls, and the

@@ -189,6 +189,7 @@ def test_host_shard_indices_single_host():
     assert host_shard_indices([3, 1, 4, 1, 5]) == [3, 1, 4, 1, 5]
 
 
+@pytest.mark.slow
 def test_remat_chunk_matches_baseline(setup):
     """Chunked long-T remat (training.remat_chunk) must be bit-equivalent
     math to the unchunked forward: same loss and grad norm at T=16 with
