@@ -15,7 +15,12 @@ Design for the TPU serving path:
   batch throughput (~2.3 ms/frame at B=32) instead of serializing at the
   B=1 latency (~3.5 ms + dispatch each). Same-stream jobs are deferred to
   the next round (state must chain). Batch sizes are padded up to a
-  power of two so only log2(max_batch)+1 programs ever compile.
+  power of two so only log2(max_batch)+1 programs ever compile. The
+  state stack and the per-stream re-slice both live INSIDE the jitted
+  program (tuple of per-stream states in, tuple out): done eagerly they
+  cost one dispatch round-trip per state leaf per stream — ~180
+  dispatches / ~880 ms per K=8 batch through the tunneled dev backend
+  (round-4 serving bench) — while in-program they are free layout ops.
 - Per-stream recurrent state lives on device between requests, keyed by
   the client's ``stream`` id (the SNN/ConvLSTM state is the whole point
   of the model: detections integrate the stream's history).
@@ -147,8 +152,71 @@ class DetectionService:
         self.batch_sizes.append(max_batch)
         self.max_batch = max_batch
 
-        def predict_impl(params, images_u8, rec_state):
-            # images_u8: (K, H, W, 3) -> time-major (1, K, H, W, 3)
+        # Recurrent-state structure, computed shape-only (no device work)
+        # straight from the module: B=1 gives the per-stream state layout,
+        # and diffing B=1 vs B=2 gives each leaf's BATCH AXIS — axis 0 for
+        # conv-style leaves (B, H, W, C) but axis 1 for the token-LSTM
+        # carry (num_layers, B, hidden); stacking/slicing a hardcoded
+        # axis 0 would mis-batch the latter (caught in review;
+        # tests/test_serve.py pins the lstm bottleneck end-to-end).
+        def _state_struct(b: int):
+            return jax.eval_shape(
+                lambda p, img: detector.module.apply(
+                    {"params": p},
+                    preprocess_video(img[:, None], dtype=detector.module.dtype),
+                    None,
+                )[1],
+                self.params,
+                jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8),
+            )
+
+        struct = _state_struct(1)
+        struct2 = _state_struct(2)
+
+        def _batch_axis(s1, s2):
+            diffs = [
+                i for i, (a, b) in enumerate(zip(s1.shape, s2.shape)) if a != b
+            ]
+            if len(diffs) != 1:
+                raise ValueError(
+                    "cannot infer the batch axis of a recurrent-state leaf "
+                    f"(B=1 shape {s1.shape} vs B=2 shape {s2.shape})"
+                )
+            return diffs[0]
+
+        self._state_axes = state_axes = jax.tree.map(
+            _batch_axis, struct, struct2
+        )
+        # Fresh-stream state: the model zero-inits recurrent state on the
+        # first step (state=None), so a zeros pytree of the B=1 structure
+        # is the exact first-frame state; every program size K then sees
+        # only concrete states (one trace per size — no state=None
+        # signature). Replicated-on-mesh under TP so the registry sees one
+        # uniform sharding; default device otherwise.
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+        self._zero_state1 = (
+            jax.device_put(zeros, _rep) if mesh is not None
+            else jax.device_put(zeros)
+        )
+
+        def predict_impl(params, images_u8, rec_states):
+            # images_u8: (K, H, W, 3) -> time-major (1, K, H, W, 3).
+            # rec_states: tuple of K per-stream B=1 state pytrees. The
+            # stack and the per-stream re-slice live INSIDE the jit: done
+            # eagerly they cost one dispatch round-trip per leaf per
+            # stream through a tunneled backend (~180 dispatches at K=8 —
+            # measured ~880 ms/batch, the round-4 serving-bench
+            # pathology); fused here they are free layout ops in the one
+            # compiled program. Tuple arity is part of the jit signature,
+            # so this still compiles exactly once per padded size K.
+            if len(rec_states) == 1:
+                rec_state = rec_states[0]
+            else:
+                rec_state = jax.tree.map(
+                    lambda ax, *xs: jnp.concatenate(xs, axis=ax),
+                    state_axes,
+                    *rec_states,
+                )
             frames = preprocess_video(
                 images_u8[:, None], dtype=detector.module.dtype
             )
@@ -161,7 +229,17 @@ class DetectionService:
             out = batched_nms(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det
             )
-            return out, new_state
+            new_states = tuple(
+                jax.tree.map(
+                    lambda ax, x, i=i: jax.lax.slice_in_dim(
+                        x, i, i + 1, axis=ax
+                    ),
+                    state_axes,
+                    new_state,
+                )
+                for i in range(len(rec_states))
+            )
+            return out, new_states
 
         def _jit(fn):
             """jit a predict-shaped fn; under a tensor mesh, pin the fold
@@ -181,7 +259,7 @@ class DetectionService:
                 out_shardings=_rep,
             )
 
-        self._predict = predict = _jit(predict_impl)
+        self._predict = _jit(predict_impl)
 
         # Clip (chunk) program: T frames of ONE stream per dispatch, the
         # decoder/head running once on the folded (T*1) batch (all_steps
@@ -221,47 +299,6 @@ class DetectionService:
             return out, new_state
 
         self._predict_clip = _jit(predict_clip_impl)
-        # Fresh-stream state: the model zero-inits recurrent state on the
-        # first step (state=None), so a zeros pytree of the state structure
-        # is the exact first-frame state; eval_shape gives the structure
-        # without any device work, and every program size K sees only
-        # concrete states (one trace per size — no state=None signature).
-        struct = jax.eval_shape(
-            lambda p, img: predict(p, img, None)[1],
-            self.params,
-            jax.ShapeDtypeStruct((1, h, w, 3), jnp.uint8),
-        )
-        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
-        # Replicated-on-mesh under TP, so the eager stack/slice helpers and
-        # the registry see one uniform sharding; default device otherwise.
-        self._zero_state1 = (
-            jax.device_put(zeros, _rep) if mesh is not None
-            else jax.device_put(zeros)
-        )
-        # Per-leaf BATCH AXIS of the recurrent state, inferred by diffing
-        # the state structure at B=1 vs B=2: batch is axis 0 for conv-style
-        # leaves (B, H, W, C) but axis 1 for the token-LSTM carry
-        # (num_layers, B, hidden) — stacking/slicing a hardcoded axis 0
-        # would mis-batch the latter (caught in review; tests/test_serve.py
-        # pins the lstm bottleneck end-to-end).
-        struct2 = jax.eval_shape(
-            lambda p, img: predict(p, img, None)[1],
-            self.params,
-            jax.ShapeDtypeStruct((2, h, w, 3), jnp.uint8),
-        )
-
-        def _batch_axis(s1, s2):
-            diffs = [
-                i for i, (a, b) in enumerate(zip(s1.shape, s2.shape)) if a != b
-            ]
-            if len(diffs) != 1:
-                raise ValueError(
-                    "cannot infer the batch axis of a recurrent-state leaf "
-                    f"(B=1 shape {s1.shape} vs B=2 shape {s2.shape})"
-                )
-            return diffs[0]
-
-        self._state_axes = jax.tree.map(_batch_axis, struct, struct2)
         self._states: dict[str, Any] = {}
         self._lru: list[str] = []
         # Per-stream cap on worker-local deferrals (see _next_jobs).
@@ -306,8 +343,8 @@ class DetectionService:
         h, w = self.image_hw
         for k in self.batch_sizes:
             imgs = np.zeros((k, h, w, 3), np.uint8)
-            state = self._stack_states([self._zero_state1] * k)
-            out, _ = self._predict(self.params, imgs, state)
+            states = tuple([self._zero_state1] * k)
+            out, _ = self._predict(self.params, imgs, states)
             jax.block_until_ready(out)
         for t in self.clip_sizes:
             clip = np.zeros((t, h, w, 3), np.uint8)
@@ -394,31 +431,6 @@ class DetectionService:
         return len(self._states)
 
     # -- device worker -----------------------------------------------------
-    def _stack_states(self, states: list):
-        """Concatenate per-stream B=1 states into one B=K state, each leaf
-        along ITS batch axis (self._state_axes — not uniformly axis 0: the
-        token-LSTM carry batches on axis 1)."""
-        import jax
-        import jax.numpy as jnp
-
-        if len(states) == 1:
-            return states[0]
-        return jax.tree.map(
-            lambda ax, *xs: jnp.concatenate(xs, axis=ax),
-            self._state_axes,
-            *states,
-        )
-
-    def _slice_state(self, state, i: int):
-        """Stream i's B=1 slice of a batched state (per-leaf batch axis)."""
-        import jax
-
-        return jax.tree.map(
-            lambda ax, x: x[(slice(None),) * ax + (slice(i, i + 1),)],
-            self._state_axes,
-            state,
-        )
-
     def _next_jobs(self) -> list | None:
         """Blocking take of one job, then a non-blocking drain of up to
         max_batch jobs from *distinct* streams (a stream's requests must
@@ -552,13 +564,13 @@ class DetectionService:
                 images = np.zeros((k, *self.image_hw, 3), np.uint8)
                 for i, j in enumerate(jobs):
                     images[i] = j.image_u8
-                out, new_state = self._predict(
-                    self.params, images, self._stack_states(states)
+                out, new_states = self._predict(
+                    self.params, images, tuple(states)
                 )
                 host = jax.device_get(out)
-                per_job_states = [
-                    self._slice_state(new_state, i) for i in range(n)
-                ]
+                # Per-stream B=1 states come back pre-sliced from inside
+                # the jit (padded slots discarded) — no eager device ops.
+                per_job_states = list(new_states[:n])
                 with self._state_lock:
                     for j, st, (_, gen0) in zip(jobs, per_job_states, entries):
                         if self._gen.get(j.stream, 0) != gen0:
@@ -617,7 +629,8 @@ class DetectionService:
             )
             seg = np.ascontiguousarray(job.image_u8[i : i + size])
             if size == 1:
-                out, state = self._predict(self.params, seg, state)
+                out, states_out = self._predict(self.params, seg, (state,))
+                state = states_out[0]
             else:
                 out, state = self._predict_clip(self.params, seg, state)
             outs.append(out)

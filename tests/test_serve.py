@@ -602,10 +602,10 @@ def test_tp_batched_program_matches_plain(tp_pair):
     plain, tp = tp_pair
     imgs = np.stack([_frame(60), _frame(61)])
     out_p, _ = plain._predict(
-        plain.params, imgs, plain._stack_states([plain._zero_state1] * 2)
+        plain.params, imgs, (plain._zero_state1, plain._zero_state1)
     )
     out_t, _ = tp._predict(
-        tp.params, imgs, tp._stack_states([tp._zero_state1] * 2)
+        tp.params, imgs, (tp._zero_state1, tp._zero_state1)
     )
     out_p, out_t = jax.device_get((out_p, out_t))
     np.testing.assert_array_equal(out_p["valid"], out_t["valid"])
