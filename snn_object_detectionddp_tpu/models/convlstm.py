@@ -25,6 +25,14 @@ from flax import linen as nn
 
 from ..parallel.mesh import constrain_folded, constrain_tb
 
+# lax.scan unroll factor for the recurrent gate conv (1 = rolled loop).
+# Same math at any value; unrolling exposes the T per-step hidden-half
+# convs and their weight-gradient accumulations to XLA's scheduler in one
+# block instead of a sequential loop with a carried 4*hidden*k*k fp32
+# accumulator. Probed on the v5e by scripts/probe_backward.py; see
+# BASELINE.md for the measured verdict at the flagship geometry.
+SCAN_UNROLL = 1
+
 
 class ConvLSTM2d(nn.Module):
     """Scan a ConvLSTM over a (T, B, H, W, C) time-major input.
@@ -111,5 +119,7 @@ class ConvLSTM2d(nn.Module):
             h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
             return (h_next, c_next), h_next
 
-        (h_final, c_final), h_seq = jax.lax.scan(step, state, x_gates)
+        (h_final, c_final), h_seq = jax.lax.scan(
+            step, state, x_gates, unroll=SCAN_UNROLL
+        )
         return h_seq, (h_final, c_final)
