@@ -44,7 +44,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-_V5E_BF16_PEAK_FLOPS = 394e12
+_V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (same basis as bench.py)
 IMG_H, IMG_W = 480, 640
 
 
@@ -64,7 +64,24 @@ def main() -> int:
         action="store_true",
         help="tiny geometry smoke test (CPU-viable; numbers meaningless)",
     )
+    ap.add_argument(
+        "--freeze",
+        default="backbone,head,unet,gates_kernels",
+        help="comma list of frozen-subsystem ablations to run "
+        "(subset of backbone,head,unet,gates_kernels; empty to skip)",
+    )
+    ap.add_argument(
+        "--no-step",
+        action="store_true",
+        help="skip the full train-step timing",
+    )
     args = ap.parse_args()
+
+    from snn_object_detectionddp_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     import jax
     import numpy as np
@@ -164,7 +181,7 @@ def main() -> int:
 
     results = {}
 
-    def measure_variant(tag: str):
+    def measure_variant(tag: str, ablations: bool = True):
         """Build detector fresh (honors convlstm.SCAN_UNROLL) and measure
         fwd / grad / frozen-grads / full step."""
         detector = Detector.from_config(cfg)
@@ -180,7 +197,13 @@ def main() -> int:
         )
 
         def timed_grad(label, freeze):
-            """freeze: predicate on the dotted param path, True = constant."""
+            """freeze: predicate on the dotted param path, True = frozen.
+
+            Frozen leaves stay jit ARGUMENTS (argnums-0-only grad) rather
+            than closure constants — baking the 122M-param unet in as
+            literals produced a ~0.5 GB HLO that the remote-compile relay
+            rejects (HTTP 413), and giant literals distort compile/layout
+            anyway."""
             paths = jax.tree_util.tree_flatten_with_path(params)
             leaves, treedef = jax.tree_util.tree_flatten(params)
             keys = [
@@ -192,16 +215,16 @@ def main() -> int:
             train = [l for l, m in zip(leaves, frozen_mask) if not m]
             n_froz = sum(x.size for x in frozen)
 
-            def obj(train_leaves):
-                it_t, it_f = iter(train_leaves), iter(frozen)
+            def obj(train_leaves, frozen_leaves):
+                it_t, it_f = iter(train_leaves), iter(frozen_leaves)
                 full = [
                     next(it_f) if m else next(it_t) for m in frozen_mask
                 ]
                 return objective(jax.tree_util.tree_unflatten(treedef, full))
 
-            g = jax.jit(jax.grad(obj))
+            g = jax.jit(jax.grad(obj, argnums=0))
             t = timeit(
-                lambda: g(train),
+                lambda: g(train, frozen),
                 lambda out: float(
                     jax.device_get(jax.tree.leaves(out)[0]).ravel()[0]
                 ),
@@ -209,41 +232,48 @@ def main() -> int:
             results[f"{tag}/{label}"] = report(
                 f"[{tag}] grad, frozen={label} ({n_froz/1e6:.1f}M)",
                 t,
-                flops_of(g, train),
+                flops_of(g, train, frozen),
             )
             return t
 
         t_grad = timed_grad("none", lambda k: False)
-        for name, pred in [
-            ("backbone", lambda k: k.startswith("backbone")),
-            ("head", lambda k: k.startswith("head")),
-            ("unet", lambda k: k.startswith("unet")),
-            ("gates_kernels", lambda k: "gates_kernel" in k),
-        ]:
-            t_f = timed_grad(name, pred)
+        freezes = {
+            "backbone": lambda k: k.startswith("backbone"),
+            "head": lambda k: k.startswith("head"),
+            "unet": lambda k: k.startswith("unet"),
+            "gates_kernels": lambda k: "gates_kernel" in k,
+        }
+        for name in [f for f in args.freeze.split(",") if f and ablations]:
+            t_f = timed_grad(name, freezes[name])
             print(
                 f"    -> {name} backward-cost bound: "
                 f"{(t_grad - t_f) * 1e3:+.2f} ms",
                 flush=True,
             )
 
-        tx, schedule = make_optimizer(1e-4, total_steps=1000)
-        fns = make_step_fns(detector, tx, schedule)
-        holder = {"state": init_state(params, tx)}
+        t_step = None
+        if not args.no_step:
+            tx, schedule = make_optimizer(1e-4, total_steps=1000)
+            fns = make_step_fns(detector, tx, schedule)
+            holder = {"state": init_state(params, tx)}
 
-        def step():
-            holder["state"], m = fns.train_step(holder["state"], batch)
-            return m
+            def step():
+                holder["state"], m = fns.train_step(holder["state"], batch)
+                return m
 
-        t_step = timeit(step, lambda m: float(jax.device_get(m["loss"])))
-        results[f"{tag}/step"] = report(f"[{tag}] train step", t_step, None)
+            t_step = timeit(step, lambda m: float(jax.device_get(m["loss"])))
+            results[f"{tag}/step"] = report(
+                f"[{tag}] train step", t_step, None
+            )
         return t_grad, t_step
 
     convlstm.SCAN_UNROLL = 1
     measure_variant("unroll=1")
     if args.unroll_sweep:
+        # The unroll question is grad/step time, not the ablation split —
+        # skip the frozen variants to save chip compiles.
         convlstm.SCAN_UNROLL = args.t
-        measure_variant(f"unroll={args.t}")
+        measure_variant(f"unroll={args.t}", ablations=False)
         convlstm.SCAN_UNROLL = 1
 
     return 0
