@@ -132,13 +132,25 @@ class PWCLite:
 
         def _corr(f1, f2w):
             # Normalized local cost volume: inner product of unit-norm
-            # feature vectors for every displacement in [-r, r]^2
-            # (jnp.roll shifts are cheap at pyramid resolutions).
+            # feature vectors for every displacement in [-r, r]^2.
+            # Edge-padded shifts (ADVICE r4): jnp.roll wrapped borders, so
+            # pixels within RADIUS of an edge correlated against the
+            # opposite edge; edge padding clamps instead.
             eps = 1e-6
             a = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + eps)
             b = f2w / (jnp.linalg.norm(f2w, axis=-1, keepdims=True) + eps)
+            h, w = b.shape[:2]
+            bp = jnp.pad(
+                b,
+                ((radius, radius), (radius, radius), (0, 0)),
+                mode="edge",
+            )
             vols = [
-                jnp.sum(a * jnp.roll(b, (-dy, -dx), axis=(0, 1)), axis=-1)
+                jnp.sum(
+                    a * bp[radius + dy : radius + dy + h,
+                           radius + dx : radius + dx + w],
+                    axis=-1,
+                )
                 for dy in range(-radius, radius + 1)
                 for dx in range(-radius, radius + 1)
             ]
@@ -199,6 +211,8 @@ class ModelFlow:
         self._fns: dict[tuple[int, int], object] = {}
         self._flops: dict[tuple[int, int], float] = {}
         self._jax = jax
+        self._trained = False
+        self._warned_untrained = False
 
     def _pad_hw(self, h: int, w: int) -> tuple[int, int]:
         return -(-h // 8) * 8, -(-w // 8) * 8
@@ -239,6 +253,19 @@ class ModelFlow:
         """(H, W) uint8/float grayscale pair -> (H, W, 2) flow."""
         import jax.numpy as jnp
 
+        if not self._trained and not self._warned_untrained:
+            # ADVICE r4: flow_method="model" without a prior fit served
+            # deterministic-random weights silently; make it loud once.
+            import warnings
+
+            warnings.warn(
+                "ModelFlow.compute() called with untrained (random-init) "
+                "weights — flow output is meaningless for tracking. Call "
+                "fit_translations() first (or load trained params).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self._warned_untrained = True
         h, w = prev_gray.shape[:2]
         ph, pw = self._pad_hw(h, w)
         fn = self._ensure(ph, pw)
@@ -299,6 +326,7 @@ class ModelFlow:
             last = float(loss)
         # Invalidate cached jitted programs: params pytree is unchanged in
         # structure, so cached fns stay valid — nothing to do.
+        self._trained = True
         return last
 
 

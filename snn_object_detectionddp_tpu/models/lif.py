@@ -145,7 +145,7 @@ def set_lif_impl(impl: str) -> None:
     reference path.
     """
     global _LIF_IMPL
-    if impl not in ("auto", "pallas", "xla", "unrolled"):
+    if impl not in ("auto", "pallas", "xla", "unrolled", "manual"):
         raise ValueError(f"unknown LIF impl '{impl}'")
     _LIF_IMPL = impl
 
@@ -248,6 +248,122 @@ def affine_lif_unrolled_tb(
     return jnp.concatenate(spikes, axis=0), v
 
 
+# ---------------------------------------------------------------------------
+# Hand-written VJP for the fused affine+LIF stage (round-5 backward lever)
+# ---------------------------------------------------------------------------
+
+# Storage dtype for the surrogate residual saved by the manual-VJP path.
+# bf16 halves the residual HBM traffic vs the fp32 v_shifted autodiff saves;
+# the induced gradient perturbation is O(bf16 eps) on a smooth factor
+# (bounded in tests/test_affine_lif.py). fp32 available for A/B.
+MANUAL_SUR_DTYPE = jnp.bfloat16
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _affine_lif_manual(p, with_readouts, x4, a, b, v0):
+    """affine_lif_unrolled_tb with a hand-written backward.
+
+    Same primal math as :func:`affine_lif_unrolled_tb` (delegated when not
+    differentiated). Under differentiation the forward additionally computes
+    the SuperSpike surrogate factor and saves it (MANUAL_SUR_DTYPE) instead
+    of letting autodiff save the fp32 pre-threshold membrane: the backward
+    then runs a leaner chain — no abs/square/divide in the hot reverse
+    fusions, half the residual bytes — measured against the ~32%-MFU
+    backbone backward (BASELINE.md round-4 breakdown; reference hot loop:
+    train.py:76-80). Soft reset only; the dispatcher falls back to the
+    autodiff path for hard reset.
+    """
+    return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
+
+
+def _affine_lif_manual_fwd(p, with_readouts, x4, a, b, v0):
+    t_steps, bsz = a.shape[0], a.shape[1]
+    v = v0
+    spikes = []
+    reads = []
+    surs = []
+    for t in range(t_steps):
+        xt = jax.lax.slice_in_dim(x4, t * bsz, (t + 1) * bsz, axis=0)
+        cur = (
+            xt.astype(jnp.float32) * a[t, :, None, None, :]
+            + b[t, :, None, None, :]
+        )
+        v_pre = p.decay * v + cur
+        sh = v_pre - p.threshold
+        s = (sh >= 0).astype(jnp.float32)
+        surs.append(
+            (1.0 / jnp.square(p.surrogate_slope * jnp.abs(sh) + 1.0)).astype(
+                MANUAL_SUR_DTYPE
+            )
+        )
+        v = v_pre - s * p.threshold
+        spikes.append(s.astype(x4.dtype))
+        if with_readouts:
+            # Bit-identical to _step_readout: v_next + s*theta in fp32.
+            reads.append((v + s * p.threshold).astype(x4.dtype))
+    spikes4 = jnp.concatenate(spikes, axis=0)
+    res = (x4, a, jnp.concatenate(surs, axis=0))
+    if with_readouts:
+        return (spikes4, v, jnp.concatenate(reads, axis=0)), res
+    return (spikes4, v), res
+
+
+def _affine_lif_manual_bwd(p, with_readouts, res, cot):
+    x4, a, sur4 = res
+    if with_readouts:
+        g_s4, g_vfin, g_r4 = cot
+    else:
+        g_s4, g_vfin = cot
+        g_r4 = None
+    t_steps, bsz = a.shape[0], a.shape[1]
+    g_v = g_vfin.astype(jnp.float32)
+    g_x = [None] * t_steps
+    g_a = [None] * t_steps
+    g_b = [None] * t_steps
+    for t in reversed(range(t_steps)):
+        sl = partial(
+            jax.lax.slice_in_dim, start_index=t * bsz,
+            limit_index=(t + 1) * bsz, axis=0,
+        )
+        g_out = sl(g_s4).astype(jnp.float32)
+        sur = sl(sur4).astype(jnp.float32)
+        # v_next = v_pre - s*theta; s = H(v_pre - theta) with dS/dv = sur:
+        # g_vpre = g_v + sur*(g_out - theta*g_v) [+ g_read: reads == v_pre].
+        g_vpre = g_v + sur * (g_out - p.threshold * g_v)
+        if g_r4 is not None:
+            g_vpre = g_vpre + sl(g_r4).astype(jnp.float32)
+        xt = sl(x4).astype(jnp.float32)
+        g_a[t] = jnp.sum(g_vpre * xt, axis=(1, 2))
+        g_b[t] = jnp.sum(g_vpre, axis=(1, 2))
+        g_x[t] = (g_vpre * a[t, :, None, None, :]).astype(x4.dtype)
+        g_v = p.decay * g_vpre
+    return (
+        jnp.concatenate(g_x, axis=0),
+        jnp.stack(g_a),
+        jnp.stack(g_b),
+        g_v,
+    )
+
+
+_affine_lif_manual.defvjp(_affine_lif_manual_fwd, _affine_lif_manual_bwd)
+
+
+def affine_lif_manual_tb(
+    x4: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    p: LIFParams,
+    v0: jnp.ndarray | None = None,
+    with_readouts: bool = False,
+):
+    """Manual-VJP entry with the affine_lif_unrolled_tb signature."""
+    if p.reset != "soft":  # hard-reset backward not hand-derived; autodiff
+        return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
+    if v0 is None:
+        v0 = jnp.zeros((a.shape[1],) + x4.shape[1:], dtype=jnp.float32)
+    return _affine_lif_manual(p, with_readouts, x4, a, b, v0)
+
+
 def run_lif(
     x_t: jnp.ndarray, p: LIFParams, v0: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -283,6 +399,8 @@ def run_affine_lif_tb(
     impl = _LIF_IMPL
     if impl == "auto":
         impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
+    if impl == "manual":
+        return affine_lif_manual_tb(x4, a, b, p, v0, with_readouts)
     if impl == "unrolled":
         return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
     t_steps, bsz = a.shape[0], a.shape[1]

@@ -181,8 +181,12 @@ def load_checkpoint(path: str | Path, template_state: dict) -> dict:
             template_state["params"], raw_params
         )
         print(
-            "NOTE: legacy checkpoint layout; restored params only "
-            "(fresh optimizer/schedule state)."
+            "NOTE: checkpoint optimizer-state structure does not match this "
+            "run's optimizer; restored params only (fresh optimizer/schedule "
+            "state). Likely causes: model.freeze_backbone or "
+            "training.param_groups toggled since the checkpoint was written "
+            "(both change the opt_state pytree), or a checkpoint from an "
+            "older build."
         )
         return out
 

@@ -228,6 +228,92 @@ def test_unrolled_backward_matches_xla():
         )
 
 
+@pytest.mark.parametrize("with_readouts", [False, True])
+@pytest.mark.parametrize("shape", SHAPES)
+def test_manual_vjp_matches_unrolled(shape, with_readouts):
+    """The hand-written VJP path (models/lif.affine_lif_manual_tb, the
+    round-5 backward lever) is primal-bit-exact vs the unrolled autodiff
+    path and gradient-equivalent up to the bf16 rounding of its saved
+    surrogate residual (MANUAL_SUR_DTYPE)."""
+    from snn_object_detectionddp_tpu.models import lif as lif_mod
+    from snn_object_detectionddp_tpu.models.lif import (
+        affine_lif_manual_tb,
+        affine_lif_unrolled_tb,
+    )
+
+    p = PARAMS[0]  # soft reset (manual path's contract)
+    x, a, b, v0 = _inputs(shape, jnp.bfloat16, seed=4)
+    t, bsz = shape[:2]
+    x4 = x.reshape((t * bsz,) + shape[2:])
+
+    out_ref = affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)
+    out_man = affine_lif_manual_tb(x4, a, b, p, v0, with_readouts)
+    for name, r, m in zip(("spikes", "v_final", "reads"), out_ref, out_man):
+        np.testing.assert_array_equal(
+            np.asarray(m, np.float32), np.asarray(r, np.float32), err_msg=name
+        )
+
+    def make_loss(f):
+        def L(x4, a, b, v0):
+            out = f(x4, a, b, v0, p, with_readouts)
+            tot = (
+                jnp.sum(out[0].astype(jnp.float32) * 0.7)
+                + jnp.sum(out[1] * 1.3)
+            )
+            if with_readouts:
+                tot = tot + jnp.sum(out[2].astype(jnp.float32) * 0.4)
+            return tot
+
+        return jax.grad(L, argnums=(0, 1, 2, 3))(x4, a, b, v0)
+
+    def wrap(fn):
+        return lambda x4, a, b, v0, p, wr: fn(x4, a, b, p, v0, wr)
+
+    g_ref = make_loss(wrap(affine_lif_unrolled_tb))
+    # fp32 surrogate residual: gradients must match the autodiff path tightly.
+    old = lif_mod.MANUAL_SUR_DTYPE
+    try:
+        lif_mod.MANUAL_SUR_DTYPE = jnp.float32
+        g_man32 = make_loss(wrap(affine_lif_manual_tb))
+    finally:
+        lif_mod.MANUAL_SUR_DTYPE = old
+    for name, gr, gm in zip(("dx", "da", "db", "dv0"), g_ref, g_man32):
+        np.testing.assert_allclose(
+            np.asarray(gm, np.float32),
+            np.asarray(gr, np.float32),
+            atol=2e-5,
+            rtol=2e-5,
+            err_msg=f"fp32-sur {name}",
+        )
+    # Default bf16 surrogate residual: O(bf16 eps) relative perturbation.
+    g_man = make_loss(wrap(affine_lif_manual_tb))
+    for name, gr, gm in zip(("dx", "da", "db", "dv0"), g_ref, g_man):
+        gr = np.asarray(gr, np.float32)
+        gm = np.asarray(gm, np.float32)
+        denom = max(np.abs(gr).max(), 1e-6)
+        assert np.abs(gm - gr).max() / denom < 0.02, name
+
+
+def test_manual_vjp_hard_reset_falls_back():
+    """Hard reset has no hand-derived backward; the entry must delegate to
+    the autodiff path (same values, gradients defined)."""
+    from snn_object_detectionddp_tpu.models.lif import (
+        affine_lif_manual_tb,
+        affine_lif_unrolled_tb,
+    )
+
+    p = PARAMS[1]
+    assert p.reset == "hard"
+    shape = (3, 2, 8, 4, 16)
+    x, a, b, v0 = _inputs(shape, jnp.float32, seed=5)
+    t, bsz = shape[:2]
+    x4 = x.reshape((t * bsz,) + shape[2:])
+    s_ref, v_ref = affine_lif_unrolled_tb(x4, a, b, p, v0)
+    s_m, v_m = affine_lif_manual_tb(x4, a, b, p, v0)
+    np.testing.assert_array_equal(np.asarray(s_m), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_ref))
+
+
 @pytest.mark.parametrize("shape", SHAPES)
 def test_unrolled_tb_matches_5d(shape):
     """The 4D layout-preserving variant equals the 5D unrolled path."""
