@@ -502,16 +502,20 @@ def measure_serving(n_streams: int = 8, frames_per_stream: int = 25,
     )
 
     def run_streams(k: int, tag: str) -> dict:
-        lat: list[float] = []
-        batches: list[int] = []
+        samples: list[tuple[float, float, int]] = []  # (t_done, lat_ms, batch)
         lock = threading.Lock()
 
         def client(i):
             for _ in range(frames_per_stream):
                 out = svc.detect(f"{tag}{i}", frames[i])
                 with lock:
-                    lat.append(out["latency_ms"])
-                    batches.append(out.get("batch", 1))
+                    samples.append(
+                        (
+                            time.perf_counter(),
+                            out["latency_ms"],
+                            out.get("batch", 1),
+                        )
+                    )
 
         threads = [
             threading.Thread(target=client, args=(i,)) for i in range(k)
@@ -522,22 +526,70 @@ def measure_serving(n_streams: int = 8, frames_per_stream: int = 25,
         for t in threads:
             t.join()
         elapsed = time.perf_counter() - t0
+
+        # Relay-stall robustness (VERDICT r4 next #4): this host reaches
+        # the chip through a tunnel with intermittent multi-second stalls
+        # (one observed ~77 s). A stall counted as a latency sample made
+        # same-day captures disagree 10x. Detect and EXCLUDE stalls, but
+        # report both raw and trimmed so nothing is hidden.
+        lat = np.array([s[1] for s in samples], np.float64)
+        med = float(np.median(lat))
+        # A stall is >10x the median and at least +500 ms absolute (so
+        # normal jitter at small medians is never flagged).
+        stall_mask = lat > max(10.0 * med, med + 500.0)
+        lat_ok = lat[~stall_mask]
+        # Trimmed wall-clock: collapse completion-stream gaps that dwarf
+        # the median inter-completion gap (the queue is stalled, not
+        # loaded) down to the median gap.
+        done = np.sort(np.array([s[0] for s in samples]) - t0)
+        gaps = np.diff(np.concatenate([[0.0], done]))
+        gmed = float(np.median(gaps))
+        big = gaps > max(10.0 * gmed, 1.0)
+        trimmed_elapsed = elapsed - float(np.sum(gaps[big] - gmed))
+        n = len(samples)
         return {
-            "qps": round(k * frames_per_stream / elapsed, 2),
+            "qps": round(n / elapsed, 2),
+            "qps_trimmed": round(n / max(trimmed_elapsed, 1e-9), 2),
             "p50_ms": round(float(np.percentile(lat, 50)), 2),
             "p99_ms": round(float(np.percentile(lat, 99)), 2),
-            "mean_batch": round(float(np.mean(batches)), 2),
+            "p50_ms_trimmed": round(float(np.percentile(lat_ok, 50)), 2),
+            "p99_ms_trimmed": round(float(np.percentile(lat_ok, 99)), 2),
+            "stalls": int(stall_mask.sum()),
+            "mean_batch": round(float(np.mean([s[2] for s in samples])), 2),
         }
+
+    def device_paced(k: int, iters: int = 50) -> float:
+        """Chip capability of the serving program itself: the K-stream
+        jitted predict (in-jit state stack/slice + NMS), iterations chained
+        through the carried states, one drain — no tunnel RTT, no HTTP.
+        The serving analogue of `--streaming`'s device-paced figure."""
+        imgs = jax.device_put(frames[:k])
+        states = tuple(svc._zero_state1 for _ in range(k))
+        out, states = svc._predict(svc.params, imgs, states)
+        jax.device_get(out["scores"][0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, states = svc._predict(svc.params, imgs, states)
+        jax.device_get(out["scores"][0, 0])
+        return k * iters / (time.perf_counter() - t0)
 
     single = run_streams(1, "solo")
     multi = run_streams(n_streams, "cam")
+    dev_qps = device_paced(n_streams)
     svc.stop()
     return {
         "serving_qps_1stream": single["qps"],
+        "serving_qps_1stream_trimmed": single["qps_trimmed"],
         "serving_p50_ms_1stream": single["p50_ms"],
+        "serving_stalls_1stream": single["stalls"],
         f"serving_qps_{n_streams}streams": multi["qps"],
+        f"serving_qps_{n_streams}streams_trimmed": multi["qps_trimmed"],
         f"serving_p50_ms_{n_streams}streams": multi["p50_ms"],
         f"serving_p99_ms_{n_streams}streams": multi["p99_ms"],
+        f"serving_p50_ms_{n_streams}streams_trimmed": multi["p50_ms_trimmed"],
+        f"serving_p99_ms_{n_streams}streams_trimmed": multi["p99_ms_trimmed"],
+        f"serving_stalls_{n_streams}streams": multi["stalls"],
+        f"serving_device_qps_{n_streams}streams": round(dev_qps, 2),
         "serving_mean_batch": multi["mean_batch"],
     }
 

@@ -164,7 +164,7 @@ class MeshConfig:
 class RuntimeConfig:
     precision: str = "bf16"  # compute dtype for convs/matmuls: "bf16" | "f32"
     prefetch: int = 2  # device-prefetch depth of the input pipeline
-    lif_kernel: str = "auto"  # "auto" | "unrolled" | "pallas" | "xla" (models/lif.py)
+    lif_kernel: str = "auto"  # "auto" | "manual" | "unrolled" | "pallas" | "xla"
     debug_nans: bool = False  # jax debug_nans NaN-origin tracing (utils/debug.py)
 
 
@@ -267,9 +267,9 @@ def _validate(obj) -> None:
     elif isinstance(obj, RuntimeConfig):
         if obj.precision not in ("bf16", "f32"):
             raise ValueError("runtime.precision must be 'bf16' or 'f32'")
-        if obj.lif_kernel not in ("auto", "unrolled", "pallas", "xla"):
+        if obj.lif_kernel not in ("auto", "manual", "unrolled", "pallas", "xla"):
             raise ValueError(
-                "runtime.lif_kernel must be auto|unrolled|pallas|xla"
+                "runtime.lif_kernel must be auto|manual|unrolled|pallas|xla"
             )
 
 

@@ -398,7 +398,11 @@ def run_affine_lif_tb(
     """
     impl = _LIF_IMPL
     if impl == "auto":
-        impl = "unrolled" if jax.default_backend() == "tpu" else "xla"
+        # "manual" won the round-5 whole-model A/B on the v5e (grad
+        # 182.4 -> 174.2 ms, step 187.9 -> 179.7 ms at flagship geometry;
+        # BASELINE.md round-5 backward table). Identical primal math,
+        # hand-written backward. CPU keeps the scan path (fast traces).
+        impl = "manual" if jax.default_backend() == "tpu" else "xla"
     if impl == "manual":
         return affine_lif_manual_tb(x4, a, b, p, v0, with_readouts)
     if impl == "unrolled":

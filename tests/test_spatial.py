@@ -140,6 +140,50 @@ def test_spatial_matches_single_device(setup, geom):
 
 
 @pytest.mark.slow
+def test_spatial_matches_single_device_manual_vjp(setup):
+    """Same data x spatial equivalence with the manual-VJP LIF backward
+    (models/lif.affine_lif_manual_tb — the TPU production default since
+    round 5) forced on. CPU's auto impl is the scan path, so without this
+    the hand-written backward would never meet the GSPMD partitioner in
+    tests — the exact combination the round-3 partitioner bugs hid in."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.lif import set_lif_impl
+    from snn_object_detectionddp_tpu.parallel.mesh import make_mesh, shard_batch
+    from snn_object_detectionddp_tpu.train.step import init_state, make_step_fns
+
+    cfg, det, tx, schedule, _fns, _fresh = setup
+    mesh = make_mesh(4, 2)
+    set_lif_impl("manual")
+    try:
+        fns = make_step_fns(det, tx, schedule, remat_chunk=1)
+        fns_sp = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
+        params = det.init_params(jax.random.PRNGKey(7))
+        batch = _batch(np.random.RandomState(3), b=4, h=96)
+        state_a = init_state(
+            jax.tree.map(lambda x: x.copy(), params), tx, schedule
+        )
+        state_b = init_state(
+            jax.tree.map(lambda x: x.copy(), params), tx, schedule
+        )
+        state_a, m_a = fns.train_step(state_a, batch)
+        state_b, m_b = fns_sp.train_step(state_b, shard_batch(batch, mesh))
+    finally:
+        set_lif_impl("auto")
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=2e-2
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_a["params"])),
+        jax.tree.leaves(jax.device_get(state_b["params"])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+@pytest.mark.slow
 def test_spatial_composes_with_accum_and_remat(setup):
     """The GSPMD spatial path wraps the SAME _train_step body as the
     single-device jit, so grad accumulation and chunked BPTT remat must
