@@ -248,7 +248,8 @@ def measure_eval_pipeline() -> float:
     return n_frames / (_time.perf_counter() - t0)
 
 
-def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3) -> dict:
+def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3,
+                  policy: str = "full") -> dict:
     """Train-step time + device peak memory at long T, with/without chunked
     remat (BASELINE config #5 "longer T"; VERDICT round-1 #6). Run in a
     fresh subprocess per config (--longt-probe) so peak_bytes_in_use
@@ -269,7 +270,9 @@ def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3) -> 
     detector = Detector.from_config(cfg)
     params = detector.init_params(jax.random.PRNGKey(0))
     tx, schedule = make_optimizer(1e-4, total_steps=1000)
-    fns = make_step_fns(detector, tx, schedule, remat_chunk=chunk)
+    fns = make_step_fns(
+        detector, tx, schedule, remat_chunk=chunk, remat_policy=policy
+    )
     state = init_state(params, tx)
 
     rng = np.random.RandomState(0)
@@ -318,6 +321,7 @@ def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3) -> 
     row = {
         "T": t,
         "chunk": chunk,
+        "policy": policy,
         "train_step_ms": round(step_s * 1e3, 2),
         "frames_per_s": round(batch * t / step_s, 2),
         **mem,
@@ -328,11 +332,26 @@ def measure_longt(t: int, chunk: int | None, batch: int = 2, iters: int = 3) -> 
 
 
 def longt_table(batch: int = 2) -> list[dict]:
-    """Fan the (T, chunk) grid out to subprocesses; collect one row each."""
+    """Fan the (T, chunk, policy) grid out to subprocesses; one row each.
+    save_conv rows probe the selective-remat policy (VERDICT r4 next #5):
+    chunked memory scaling at a fraction of full recompute cost."""
     rows = []
-    for t, chunk in ((16, 0), (16, 4), (32, 0), (32, 4), (32, 8)):
+    for t, chunk, policy in (
+        (16, 0, "full"),
+        (16, 4, "full"),
+        (16, 4, "save_conv"),
+        (32, 0, "full"),
+        (32, 4, "full"),
+        (32, 8, "full"),
+        (32, 8, "save_conv"),
+    ):
         out = subprocess.run(
-            [sys.executable, __file__, "--longt-probe", f"{t},{chunk},{batch}"],
+            [
+                sys.executable,
+                __file__,
+                "--longt-probe",
+                f"{t},{chunk},{batch},{policy}",
+            ],
             capture_output=True,
             text=True,
             timeout=3000,
@@ -594,6 +613,48 @@ def measure_serving(n_streams: int = 8, frames_per_stream: int = 25,
     }
 
 
+def measure_fixture_quality() -> dict:
+    """Discriminating quality metric (VERDICT r4 next #2): evaluate the
+    committed hard-fixture checkpoint (fixtures/hard_nano_ckpt.pt, trained
+    by scripts/hard_nano.yaml) on the deterministic HARD nano fixture's
+    seeded val split — the eval_2 protocol (reference eval_2.py:125-130).
+    Unlike the saturated flagship-demo 0.9999 mAP, this number sits below
+    ceiling, so TAL/loss/NMS/backbone/mAP-stack regressions move it
+    round-over-round."""
+    import sys as _sys
+
+    import jax
+    import numpy as np
+
+    _sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+    from make_hard_fixture import make_hard_nano
+
+    from snn_object_detectionddp_tpu.config import load_config
+    from snn_object_detectionddp_tpu.evals.validator import evaluate_model
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from flax import serialization
+
+    make_hard_nano()  # deterministic; no-op when present
+    cfg = load_config(Path(__file__).parent / "scripts/hard_nano.yaml")
+    detector = Detector.from_config(cfg)
+    ckpt = Path(__file__).parent / "fixtures/hard_nano_ckpt.pt"
+    template = jax.eval_shape(detector.init_params, jax.random.PRNGKey(0))
+    raw = serialization.msgpack_restore(ckpt.read_bytes())
+    # fp16-stored params (committed-size compromise): cast up to the
+    # template dtypes on load.
+    params = jax.tree.map(
+        lambda t, r: np.asarray(r, t.dtype),
+        template,
+        serialization.from_state_dict(template, raw["params"]),
+    )
+    params = jax.device_put(params)
+    res = evaluate_model(cfg, detector, params, batch_size=16)
+    return {
+        "fixture_map50": round(float(res["metrics/mAP50(B)"]), 4),
+        "fixture_map50_95": round(float(res["metrics/mAP50-95(B)"]), 4),
+    }
+
+
 def cpu_baseline() -> dict | None:
     if CACHE_FILE.exists():
         return json.loads(CACHE_FILE.read_text())
@@ -662,8 +723,10 @@ if __name__ == "__main__":
         )
 
         enable_compilation_cache()
-        t, chunk, batch = (int(x) for x in args.longt_probe.split(","))
-        print(json.dumps(measure_longt(t, chunk or None, batch)))
+        parts = args.longt_probe.split(",")
+        t, chunk, batch = (int(x) for x in parts[:3])
+        policy = parts[3] if len(parts) > 3 else "full"
+        print(json.dumps(measure_longt(t, chunk or None, batch, policy=policy)))
         sys.exit(0)
 
     if args.cpu_probe:
@@ -733,6 +796,13 @@ if __name__ == "__main__":
             report.update(measure_serving())
         except Exception as e:
             report["serving_error"] = f"{type(e).__name__}: {e}"
+    # Quality metric: always attempted (cheap eval of a committed
+    # checkpoint on the deterministic hard fixture); guarded so a missing
+    # checkpoint degrades to an error field, not a dead headline line.
+    try:
+        report.update(measure_fixture_quality())
+    except Exception as e:
+        report["fixture_quality_error"] = f"{type(e).__name__}: {e}"
     if args.longt:
         report["longt"] = longt_table()
     print(json.dumps(report))

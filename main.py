@@ -139,6 +139,7 @@ def train_code(cfg, detector: Detector) -> None:
         remat_chunk=cfg.training.remat_chunk or None,
         grad_accum=cfg.training.grad_accum_steps or 1,
         fsdp=cfg.mesh.fsdp,
+        remat_policy=cfg.training.remat_policy,
     )
 
     rng = jax.random.PRNGKey(cfg.training.seed)

@@ -60,6 +60,10 @@ class TrainingConfig:
     # Long-T BPTT: checkpoint per time-chunk of this size (activation memory
     # scales with one chunk, not the window). 0 = off. T % chunk must be 0.
     remat_chunk: int = 0
+    # Remat policy for the checkpointed regions: "full" recomputes the
+    # whole chunk forward; "save_conv" keeps the MXU conv outputs and
+    # recomputes only the elementwise GN/LIF/gate chain (train/step.py).
+    remat_policy: str = "full"
     # Gradient accumulation: microbatches per optimizer step (activation
     # memory ~ one microbatch; grads averaged). 1 = off. batch_size % k == 0.
     grad_accum_steps: int = 1
@@ -244,6 +248,10 @@ def _validate(obj) -> None:
             raise ValueError("training.epochs must be >= 1")
         if not (0.0 < obj.pct_start < 1.0):
             raise ValueError("training.pct_start must be in (0, 1)")
+        if obj.remat_policy not in ("full", "save_conv"):
+            raise ValueError(
+                "training.remat_policy must be 'full' or 'save_conv'"
+            )
     elif isinstance(obj, ModelConfig):
         if obj.num_classes < 1:
             raise ValueError("model.num_classes must be >= 1")

@@ -100,6 +100,12 @@ class ConvLSTM2d(nn.Module):
             x_t.reshape((t * b, h, w, in_ch)).astype(compute_dtype)
         )
         x_gates = _conv(xb, kernel[:, :, :in_ch].astype(compute_dtype))
+        # Selective-remat anchor: the time-batched input-half gate conv is
+        # the ConvLSTM's big MXU call — remat_policy="save_conv" keeps it
+        # instead of recomputing it per chunk (models/layers.py rationale).
+        from jax.ad_checkpoint import checkpoint_name
+
+        x_gates = checkpoint_name(x_gates, "conv_out")
         x_gates = constrain_tb(
             x_gates.reshape((t, b, h, w, 4 * self.hidden))
         )

@@ -26,6 +26,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..parallel.mesh import constrain_folded, constrain_tb, constrain_tbc
 from .lif import LIFParams, run_affine_lif_tb
@@ -91,6 +92,11 @@ class SpikingConvBlock(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.he_normal(),
         )(x)
+        # Selective-remat anchor (training.remat_policy="save_conv"): under
+        # chunked long-T remat the policy saves these MXU-expensive conv
+        # outputs and recomputes only the cheap GN/LIF elementwise chain.
+        # Free outside jax.checkpoint (the name op lowers away).
+        x = checkpoint_name(x, "conv_out")
         # GroupNorm split for fusion (kernels/affine_lif_pallas.py): only the
         # cheap group statistics run here in XLA — one-pass moments
         # (E[x^2]-E[x]^2, flax convention), a single read of the conv
@@ -203,6 +209,7 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.he_normal(),
         )(x.astype(self.dtype))
+        x = checkpoint_name(x, "conv_out")
         x = nn.GroupNorm(
             num_groups=_num_groups(self.features),
             dtype=jnp.float32,

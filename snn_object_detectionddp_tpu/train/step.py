@@ -130,6 +130,7 @@ def make_step_fns(
     remat_chunk: int | None = None,
     grad_accum: int = 1,
     fsdp: bool = False,
+    remat_policy: str | None = None,
 ) -> TrainStepFns:
     """Build jitted step functions bound to a Detector + optimizer.
 
@@ -189,18 +190,39 @@ def make_step_fns(
     # model's compute dtype, so "f32" never quantizes inputs through bf16.
     in_dtype = detector.module.dtype
 
+    # Selective remat (VERDICT r4 next #5): "save_conv" saves the
+    # checkpoint_name("conv_out")-tagged MXU conv outputs inside each
+    # chunk and recomputes only the cheap elementwise GN/LIF/gate chain in
+    # the backward — trading a little of chunked remat's memory win for
+    # most of its recompute cost. "full" (default) recomputes everything.
+    if remat_policy in (None, "", "full"):
+        _ckpt_policy = None
+    elif remat_policy == "save_conv":
+        _ckpt_policy = jax.checkpoint_policies.save_only_these_names(
+            "conv_out"
+        )
+    else:
+        raise ValueError(
+            f"unknown remat_policy '{remat_policy}' (full|save_conv)"
+        )
+
+    def _checkpoint(fn):
+        if _ckpt_policy is None:
+            return jax.checkpoint(fn)
+        return jax.checkpoint(fn, policy=_ckpt_policy)
+
     if remat_chunk:
         # Two separately-checkpointed callables: non-final chunks must drop
         # the detection maps INSIDE the checkpoint — jax.checkpoint wraps
         # its outputs in optimization barriers, so a dead raw_maps output
         # would survive DCE and every middle chunk would compute (and hold)
         # the decoder/head.
-        ckpt_state = jax.checkpoint(
+        ckpt_state = _checkpoint(
             lambda params, chunk, state: detector.module.apply(
                 {"params": params}, chunk, state
             )[1]
         )
-        ckpt_apply = jax.checkpoint(
+        ckpt_apply = _checkpoint(
             lambda params, chunk, state: detector.module.apply(
                 {"params": params}, chunk, state
             )
@@ -234,11 +256,10 @@ def make_step_fns(
     else:
         apply_fn = detector.module.apply
         if remat:
-            apply_fn = jax.checkpoint(
+            apply_fn = _checkpoint(
                 lambda variables, frames: detector.module.apply(
                     variables, frames
-                ),
-                static_argnums=(),
+                )
             )
 
         def loss_of(params, frames):

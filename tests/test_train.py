@@ -215,6 +215,48 @@ def test_remat_chunk_matches_baseline(setup):
         np.testing.assert_allclose(results[chunk][1], base[1], rtol=1e-3)
 
 
+@pytest.mark.slow
+def test_remat_chunk_save_conv_matches_baseline():
+    """Selective remat (training.remat_policy="save_conv"): saving the
+    checkpoint_name-tagged conv outputs while recomputing the elementwise
+    GN/LIF/gate chain is the same math — loss and grad norm must match the
+    unchunked step (VERDICT r4 next #5). f32: the policy restructures the
+    grad program, and in bf16 a fusion-level ulp can flip a Heaviside
+    spike (O(1) loss change) — the same reason the spatial equivalence
+    tests pin f32 (tests/test_spatial.py setup docstring)."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models.detector import Detector
+    from snn_object_detectionddp_tpu.train.step import (
+        init_state,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.runtime.precision = "f32"
+    det = Detector.from_config(cfg)
+    tx, schedule = make_optimizer(cfg.training.learning_rate, total_steps=100)
+    params = det.init_params(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(9), t=16)
+
+    results = {}
+    for chunk, policy in ((None, "full"), (4, "save_conv"), (8, "save_conv")):
+        fns_c = make_step_fns(
+            det, tx, schedule, remat_chunk=chunk, remat_policy=policy
+        )
+        state = init_state(jax.tree.map(lambda x: x.copy(), params), tx, schedule)
+        _, m = fns_c.train_step(state, batch)
+        results[(chunk, policy)] = (float(m["loss"]), float(m["grad_norm"]))
+
+    base = results[(None, "full")]
+    for key in ((4, "save_conv"), (8, "save_conv")):
+        np.testing.assert_allclose(results[key][0], base[0], rtol=1e-4)
+        np.testing.assert_allclose(results[key][1], base[1], rtol=1e-3)
+    with pytest.raises(ValueError, match="remat_policy"):
+        make_step_fns(det, tx, schedule, remat_chunk=4, remat_policy="bogus")
+
+
 def test_remat_chunk_rejects_indivisible_t(setup):
     import jax
 
