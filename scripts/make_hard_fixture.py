@@ -52,21 +52,30 @@ def make_hard_flagship(root: Path | None = None) -> Path:
 
 
 def make_hard_nano(root: Path | None = None) -> Path:
+    # Tuning (round-5, measured): v1 at 16 seqs / 4%-min objects / noise 6
+    # trained to mAP 0.0 — too few sequences to generalize across the
+    # per-sequence background/distractor diversity, and 5 px objects
+    # starve the TAL bootstrap (data/synthetic.py docstring). 40 seqs,
+    # 7-20% objects, noise 4, jitter 0.85-1.15 lands the committed nano
+    # checkpoint below ceiling but well off zero — the discriminating
+    # regime the bench metric needs.
     root = root or REPO / "fixtures/hard_nano"
     done = root / ".fixture_done"
     if done.exists():
         return root
-    for i in range(16):
+    for i in range(40):
         make_sequence_hard(
             root / "train" / f"seq_{i:02d}",
             num_frames=16, height=128, width=160,
-            num_objects=3, num_classes=3, seed=5000 + i,
+            num_objects=4, num_classes=3, seed=5000 + i,
+            min_scale=0.07, max_scale=0.20, noise=4.0, jitter=(0.85, 1.15),
         )
     for i in range(6):
         make_sequence_hard(
             root / "test" / f"seq_{i:02d}",
             num_frames=16, height=128, width=160,
-            num_objects=3, num_classes=3, seed=8000 + i,
+            num_objects=4, num_classes=3, seed=8000 + i,
+            min_scale=0.07, max_scale=0.20, noise=4.0, jitter=(0.85, 1.15),
         )
     done.touch()
     return root

@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--skip-attrib", action="store_true")
     ap.add_argument("--skip-model", action="store_true")
     ap.add_argument("--nano", action="store_true")
+    ap.add_argument(
+        "--impls",
+        default="unrolled,manual,manual-fp32sur",
+        help="comma list for the whole-model A/B "
+        "(unrolled|manual|manual-fp32sur|fused)",
+    )
     args = ap.parse_args()
 
     from snn_object_detectionddp_tpu.utils.cache import (
@@ -160,13 +166,16 @@ def main() -> int:
             )
             return lc.total
 
+        impl_table = {
+            "unrolled": ("unrolled", None),
+            "manual": ("manual", jnp.bfloat16),
+            "manual-fp32sur": ("manual", jnp.float32),
+            "fused": ("fused", jnp.bfloat16),
+        }
         grads = {}
-        for impl, sur_dtype in (
-            ("unrolled", None),
-            ("manual", jnp.bfloat16),
-            ("manual-fp32sur", jnp.float32),
-        ):
-            set_lif_impl(impl.split("-")[0])
+        for impl in args.impls.split(","):
+            real_impl, sur_dtype = impl_table[impl]
+            set_lif_impl(real_impl)
             if sur_dtype is not None:
                 lif_mod.MANUAL_SUR_DTYPE = sur_dtype
             g = jax.jit(jax.grad(objective))
@@ -202,9 +211,12 @@ def main() -> int:
             den = sum(jnp.sum(jnp.square(a)) for a in jax.tree.leaves(ga))
             return jnp.sqrt(num / den)
 
-        for name in ("manual", "manual-fp32sur"):
-            d = float(jax.device_get(rel_l2(grads["unrolled"], grads[name])))
-            print(f"grad rel-L2 unrolled vs {name}: {d:.3e}", flush=True)
+        names = list(grads)
+        for name in names[1:]:
+            d = float(jax.device_get(rel_l2(grads[names[0]], grads[name])))
+            print(
+                f"grad rel-L2 {names[0]} vs {name}: {d:.3e}", flush=True
+            )
         set_lif_impl("auto")
         lif_mod.MANUAL_SUR_DTYPE = jnp.bfloat16
 

@@ -164,6 +164,10 @@ def make_sequence_hard(
     frame_dt_us: int = 50_000,
     num_distractors: int = 5,
     num_occluders: int = 2,
+    min_scale: float = 0.04,
+    max_scale: float = 0.20,
+    noise: float = 6.0,
+    jitter: tuple[float, float] = (0.75, 1.25),
 ) -> None:
     """'Hard' profile (VERDICT r4 next #2): a fixture the flagship lands
     meaningfully below ceiling on, so TAL/loss/NMS/backbone quality
@@ -195,8 +199,8 @@ def make_sequence_hard(
     obj_cls = rng.randint(0, num_classes, size=num_objects)
     obj_wh = np.stack(
         [
-            rng.uniform(0.04 * short, 0.20 * short, size=num_objects),
-            rng.uniform(0.04 * short, 0.20 * short, size=num_objects),
+            rng.uniform(min_scale * short, max_scale * short, size=num_objects),
+            rng.uniform(min_scale * short, max_scale * short, size=num_objects),
         ],
         axis=1,
     )
@@ -288,10 +292,10 @@ def make_sequence_hard(
                     img, (0, pos), (width - 1, pos + thick), occ_color, -1
                 )
         # Photometric jitter + pixel noise.
-        gain = rng.uniform(0.75, 1.25)
+        gain = rng.uniform(*jitter)
         offset = rng.uniform(-18, 18)
         img = np.clip(img.astype(np.float32) * gain + offset, 0, 255)
-        img += rng.randn(*img.shape) * 6.0
+        img += rng.randn(*img.shape) * noise
         img = np.clip(img, 0, 255).astype(np.uint8)
         cv2.imwrite(str(img_dir / f"{f:06d}.png"), img[:, :, ::-1])
 

@@ -110,6 +110,33 @@ class SpikingConvBlock(nn.Module):
         c = self.features
         groups = _num_groups(c)
         cg = c // groups
+        gamma = self.param("gn_scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("gn_bias", nn.initializers.zeros, (c,), jnp.float32)
+        from .lif import gn_lif_fused_tb, resolve_impl
+
+        if resolve_impl() == "fused" and self.lif.reset == "soft":
+            # Fused GN+LIF custom VJP (round-5 lever #2): the GroupNorm
+            # statistics chain joins the hand-written backward; identical
+            # math to the split path below (tests/test_affine_lif.py).
+            out = gn_lif_fused_tb(
+                x, gamma, beta, self.lif, v0, groups, (t, b),
+                with_readouts=with_readouts,
+            )
+            if with_readouts:
+                spikes4, v_final, reads4 = out
+            else:
+                (spikes4, v_final), reads4 = out, None
+            spikes = constrain_tb(
+                spikes4.reshape((t, b) + spikes4.shape[1:])
+            )
+            self.sow(
+                "intermediates",
+                "spike_rate",
+                jnp.mean(spikes.astype(jnp.float32)),
+            )
+            if with_readouts:
+                return spikes, v_final, reads4
+            return spikes, v_final
         # Reduce over (H, W) FIRST, keeping channels on the minor (lane)
         # axis — reshaping the activation to (.., G, C/G) before the big
         # reduction puts an 8-wide dim on the lanes and ran at ~85-200 GB/s
@@ -127,8 +154,6 @@ class SpikingConvBlock(nn.Module):
         mean2 = s2 / n
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         rstd = jax.lax.rsqrt(var + 1e-6)
-        gamma = self.param("gn_scale", nn.initializers.ones, (c,), jnp.float32)
-        beta = self.param("gn_bias", nn.initializers.zeros, (c,), jnp.float32)
         mean_c = constrain_tbc(jnp.repeat(mean, cg, axis=1).reshape(t, b, c))
         rstd_c = constrain_tbc(jnp.repeat(rstd, cg, axis=1).reshape(t, b, c))
         a = rstd_c * gamma

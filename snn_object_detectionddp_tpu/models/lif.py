@@ -145,7 +145,7 @@ def set_lif_impl(impl: str) -> None:
     reference path.
     """
     global _LIF_IMPL
-    if impl not in ("auto", "pallas", "xla", "unrolled", "manual"):
+    if impl not in ("auto", "pallas", "xla", "unrolled", "manual", "fused"):
         raise ValueError(f"unknown LIF impl '{impl}'")
     _LIF_IMPL = impl
 
@@ -364,6 +364,174 @@ def affine_lif_manual_tb(
     return _affine_lif_manual(p, with_readouts, x4, a, b, v0)
 
 
+# ---------------------------------------------------------------------------
+# Fused GroupNorm+LIF VJP: hand-written backward for the WHOLE
+# conv-output -> spikes stage (round-5 lever #2)
+# ---------------------------------------------------------------------------
+
+_GN_EPS = 1e-6  # must match models/layers.py split-GN epsilon
+
+
+def _gn_stats2ab(s1, s2, gamma, beta, n, cg, t, b):
+    """(tiny) group sums -> per-(t,b,channel) affine. Bit-identical ops to
+    models/layers.SpikingConvBlock's split-GN block."""
+    c = gamma.shape[0]
+    mean = s1 / n
+    mean2 = s2 / n
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + _GN_EPS)
+    mean_c = jnp.repeat(mean, cg, axis=1).reshape(t, b, c)
+    rstd_c = jnp.repeat(rstd, cg, axis=1).reshape(t, b, c)
+    a = rstd_c * gamma
+    bias = beta - mean_c * rstd_c * gamma
+    return a, bias
+
+
+def _gn_sums(x4, groups, cg, tb):
+    """Group sums over the folded conv output — same op order as the block
+    (spatial reduction first, channels on the lanes; group fold on the
+    tiny result)."""
+    xf = x4.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2)).reshape(tb, groups, cg).sum(axis=2)
+    s2 = (
+        jnp.sum(jnp.square(xf), axis=(1, 2))
+        .reshape(tb, groups, cg)
+        .sum(axis=2)
+    )
+    return s1, s2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gn_lif_fused(p, with_readouts, groups, tb, x4, gamma, beta, v0):
+    """GroupNorm(stats+affine)+LIF over (T*B, H, W, C) with a hand-written
+    joint backward.
+
+    Extends :func:`_affine_lif_manual` to subsume the GN statistics chain
+    (the round-5 attribution's next cost center: ~11 ms of the flagship
+    backbone grad was the autodiff stats backward — repeat/segment-sum
+    plumbing and extra full-tensor passes). The backward here is two lean
+    passes per timestep (reduce, then emit), with the tiny stats->affine
+    sub-chain differentiated by ``jax.vjp`` inside the backward — zero
+    hand-derivation risk for the fiddly mean/var/rstd algebra, hand
+    control where the bytes are. Reference hot loop: train.py:76-80.
+    """
+    t_steps, bsz = tb
+    c = gamma.shape[0]
+    cg = c // groups
+    n = x4.shape[1] * x4.shape[2] * cg
+    s1, s2 = _gn_sums(x4, groups, cg, t_steps * bsz)
+    a, bias = _gn_stats2ab(s1, s2, gamma, beta, n, cg, t_steps, bsz)
+    return affine_lif_unrolled_tb(x4, a, bias, p, v0, with_readouts)
+
+
+def _gn_lif_fused_fwd(p, with_readouts, groups, tb, x4, gamma, beta, v0):
+    t_steps, bsz = tb
+    c = gamma.shape[0]
+    cg = c // groups
+    n = x4.shape[1] * x4.shape[2] * cg
+    s1, s2 = _gn_sums(x4, groups, cg, t_steps * bsz)
+    a, bias = _gn_stats2ab(s1, s2, gamma, beta, n, cg, t_steps, bsz)
+    out, (_, _, sur4) = _affine_lif_manual_fwd(
+        p, with_readouts, x4, a, bias, v0
+    )
+    return out, (x4, gamma, beta, s1, s2, a, sur4)
+
+
+def _gn_lif_fused_bwd(p, with_readouts, groups, tb, res, cot):
+    x4, gamma, beta, s1, s2, a, sur4 = res
+    if with_readouts:
+        g_s4, g_vfin, g_r4 = cot
+    else:
+        g_s4, g_vfin = cot
+        g_r4 = None
+    t_steps, bsz = tb
+    c = gamma.shape[0]
+    cg = c // groups
+    n = x4.shape[1] * x4.shape[2] * cg
+
+    def sl(arr, t):
+        return jax.lax.slice_in_dim(arr, t * bsz, (t + 1) * bsz, axis=0)
+
+    def g_cur_of(t, g_v):
+        """G = dL/d cur at step t given the carried cotangent g_v."""
+        g = g_v + sl(sur4, t).astype(jnp.float32) * (
+            sl(g_s4, t).astype(jnp.float32) - p.threshold * g_v
+        )
+        if g_r4 is not None:
+            g = g + sl(g_r4, t).astype(jnp.float32)
+        return g
+
+    # Pass 1 (reverse scan): per-step reductions SA = sum_HW G*x and
+    # SB = sum_HW G — the cotangents of (a, bias).
+    g_v = g_vfin.astype(jnp.float32)
+    SA = [None] * t_steps
+    SB = [None] * t_steps
+    for t in reversed(range(t_steps)):
+        G = g_cur_of(t, g_v)
+        xt = sl(x4, t).astype(jnp.float32)
+        SA[t] = jnp.sum(G * xt, axis=(1, 2))
+        SB[t] = jnp.sum(G, axis=(1, 2))
+        g_v = p.decay * G
+    g_v0 = g_v
+    g_a = jnp.stack(SA)  # (T, B, C) f32
+    g_bias = jnp.stack(SB)
+
+    # Tiny stats chain: exact autodiff of group-sums -> affine.
+    _, pull = jax.vjp(
+        lambda s1, s2, gamma, beta: _gn_stats2ab(
+            s1, s2, gamma, beta, n, cg, t_steps, bsz
+        ),
+        s1, s2, gamma, beta,
+    )
+    g_s1, g_s2, g_gamma, g_beta = pull((g_a, g_bias))
+    g_s1c = jnp.repeat(g_s1, cg, axis=1).reshape(t_steps, bsz, 1, 1, c)
+    g_s2c = jnp.repeat(g_s2, cg, axis=1).reshape(t_steps, bsz, 1, 1, c)
+
+    # Pass 2 (reverse scan, recomputing the same G chain): emit
+    # g_x = a*G + ds1 + 2*x*ds2 in the conv's dtype and 4D layout.
+    g_v = g_vfin.astype(jnp.float32)
+    g_x = [None] * t_steps
+    for t in reversed(range(t_steps)):
+        G = g_cur_of(t, g_v)
+        xt = sl(x4, t).astype(jnp.float32)
+        g_x[t] = (
+            G * a[t, :, None, None, :]
+            + g_s1c[t]
+            + 2.0 * xt * g_s2c[t]
+        ).astype(x4.dtype)
+        g_v = p.decay * G
+    return jnp.concatenate(g_x, axis=0), g_gamma, g_beta, g_v0
+
+
+_gn_lif_fused.defvjp(_gn_lif_fused_fwd, _gn_lif_fused_bwd)
+
+
+def gn_lif_fused_tb(
+    x4: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    p: LIFParams,
+    v0: jnp.ndarray | None,
+    groups: int,
+    tb: tuple[int, int],
+    with_readouts: bool = False,
+):
+    """Fused GN+LIF entry (models/layers.py dispatches here when the LIF
+    impl resolves to "fused"). Soft reset only — callers fall back to the
+    split path otherwise."""
+    if v0 is None:
+        v0 = jnp.zeros((tb[1],) + x4.shape[1:], dtype=jnp.float32)
+    return _gn_lif_fused(p, with_readouts, groups, tb, x4, gamma, beta, v0)
+
+
+def resolve_impl() -> str:
+    """Effective LIF impl after 'auto' resolution (used by layer code)."""
+    impl = _LIF_IMPL
+    if impl == "auto":
+        impl = "manual" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def run_lif(
     x_t: jnp.ndarray, p: LIFParams, v0: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -403,7 +571,10 @@ def run_affine_lif_tb(
         # BASELINE.md round-5 backward table). Identical primal math,
         # hand-written backward. CPU keeps the scan path (fast traces).
         impl = "manual" if jax.default_backend() == "tpu" else "xla"
-    if impl == "manual":
+    if impl in ("manual", "fused"):
+        # "fused" subsumes the GN stats into the custom VJP at the layer
+        # level (gn_lif_fused_tb); a caller reaching THIS entry with an
+        # affine already in hand gets the affine-level manual path.
         return affine_lif_manual_tb(x4, a, b, p, v0, with_readouts)
     if impl == "unrolled":
         return affine_lif_unrolled_tb(x4, a, b, p, v0, with_readouts)

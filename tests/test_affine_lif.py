@@ -294,6 +294,75 @@ def test_manual_vjp_matches_unrolled(shape, with_readouts):
         assert np.abs(gm - gr).max() / denom < 0.02, name
 
 
+@pytest.mark.parametrize("with_readouts", [False, True])
+def test_fused_gn_lif_matches_split_block(with_readouts):
+    """The fused GN+LIF custom VJP (models/lif.gn_lif_fused_tb, round-5
+    lever #2) is primal-bit-exact vs the split stats+affine path at the
+    block level, and its hand-written joint backward matches autodiff
+    through the whole conv->GN->LIF stage (fp32-sur: tight; the bf16
+    surrogate residual perturbs by O(bf16 eps))."""
+    import jax
+
+    from snn_object_detectionddp_tpu.models import lif as lif_mod
+    from snn_object_detectionddp_tpu.models.layers import SpikingConvBlock
+    from snn_object_detectionddp_tpu.models.lif import set_lif_impl
+
+    p = PARAMS[0]
+    t, b, h, w, cin, cout = 3, 2, 8, 8, 8, 32
+    rng = np.random.RandomState(6)
+    x_t = jnp.asarray(rng.randn(t, b, h, w, cin), jnp.float32)
+    gs = jnp.asarray(rng.randn(t, b, h, w, cout), jnp.float32)
+    gv = jnp.asarray(rng.randn(b, h, w, cout), jnp.float32)
+    gr = jnp.asarray(rng.randn(t * b, h, w, cout), jnp.float32)
+
+    blk = SpikingConvBlock(cout, p, dtype=jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x_t)["params"]
+
+    def loss(params, x_t):
+        out = blk.apply(
+            {"params": params}, x_t, with_readouts=with_readouts
+        )
+        tot = jnp.sum(out[0] * gs) + jnp.sum(out[1] * gv)
+        if with_readouts:
+            tot = tot + jnp.sum(out[2] * gr)
+        return tot
+
+    def run():
+        v, g = jax.value_and_grad(loss, argnums=(0, 1))(params, x_t)
+        return float(v), g
+
+    set_lif_impl("xla")
+    try:
+        v_ref, g_ref = run()
+        set_lif_impl("fused")
+        old = lif_mod.MANUAL_SUR_DTYPE
+        lif_mod.MANUAL_SUR_DTYPE = jnp.float32
+        try:
+            v_f, g_f = run()
+        finally:
+            lif_mod.MANUAL_SUR_DTYPE = old
+        v_f16, g_f16 = run()  # default bf16 surrogate residual
+    finally:
+        set_lif_impl("auto")
+
+    # Primal: near-exact (same fp32 math; XLA may fuse/fma the readout
+    # chain differently — observed 7e-8 relative on the readouts path).
+    np.testing.assert_allclose(v_f, v_ref, rtol=1e-6)
+    for (pa, a), bb in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree.leaves(g_f),
+    ):
+        name = jax.tree_util.keystr(pa)
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-4, rtol=2e-5,
+            err_msg=f"fp32-sur {name}",
+        )
+    for a, bb in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f16)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(bb - a).max() / denom < 0.02
+
+
 def test_manual_vjp_hard_reset_falls_back():
     """Hard reset has no hand-derived backward; the entry must delegate to
     the autodiff path (same values, gradients defined)."""

@@ -104,6 +104,8 @@ def test_fsdp_state_is_sharded(setup):
             assert leaf.sharding.spec == mu_specs[tuple(leaf.shape)]
 
 
+@pytest.mark.slow  # moved out of the fast profile (VERDICT r4 #6):
+# the heavyweight exact-equivalence battery; measured 90-214 s each
 def test_fsdp_matches_single_device(setup):
     """One FSDP train step on the 8-device data mesh must reproduce the
     single-device step: same loss, same grad_norm, same updated params.

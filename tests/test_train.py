@@ -128,6 +128,8 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         load_checkpoint(bad, template)
 
 
+@pytest.mark.slow  # moved out of the fast profile (VERDICT r4 #6):
+# the heavyweight exact-equivalence battery; measured 90-214 s each
 def test_dp_matches_single_device(setup):
     """One sharded train step over an 8-device CPU mesh must produce the
     same loss and parameters as the unsharded step (ICI psum correctness)."""
@@ -271,6 +273,8 @@ def test_remat_chunk_rejects_indivisible_t(setup):
         fns_c.train_step(state, batch)
 
 
+@pytest.mark.slow  # moved out of the fast profile (VERDICT r4 #6):
+# the heavyweight exact-equivalence battery; measured 90-214 s each
 def test_grad_accum_identical_microbatches_exact(setup):
     """A batch whose two halves are identical must produce the same loss
     and updated params under grad_accum=2 as under grad_accum=1 (up to
