@@ -140,12 +140,14 @@ def test_spatial_matches_single_device(setup, geom):
 
 
 @pytest.mark.slow
-def test_spatial_matches_single_device_manual_vjp(setup):
-    """Same data x spatial equivalence with the manual-VJP LIF backward
-    (models/lif.affine_lif_manual_tb — the TPU production default since
-    round 5) forced on. CPU's auto impl is the scan path, so without this
-    the hand-written backward would never meet the GSPMD partitioner in
-    tests — the exact combination the round-3 partitioner bugs hid in."""
+@pytest.mark.parametrize("impl", ["manual", "fused"])
+def test_spatial_matches_single_device_manual_vjp(setup, impl):
+    """Same data x spatial equivalence with the hand-written LIF backward
+    ("manual": affine-level VJP, the TPU production default since round 5;
+    "fused": the GN+LIF joint VJP) forced on. CPU's auto impl is the scan
+    path, so without this the hand-written backward would never meet the
+    GSPMD partitioner in tests — the exact combination the round-3
+    partitioner bugs hid in."""
     import jax
 
     from snn_object_detectionddp_tpu.models.lif import set_lif_impl
@@ -154,7 +156,7 @@ def test_spatial_matches_single_device_manual_vjp(setup):
 
     cfg, det, tx, schedule, _fns, _fresh = setup
     mesh = make_mesh(4, 2)
-    set_lif_impl("manual")
+    set_lif_impl(impl)
     try:
         fns = make_step_fns(det, tx, schedule, remat_chunk=1)
         fns_sp = make_step_fns(det, tx, schedule, mesh=mesh, remat_chunk=1)
