@@ -68,9 +68,11 @@ Caveats for honest comparison:
   reference to converge in fewer epochs; use model.backbone_init to
   fine-tune from a prior run of this repo.
 - mAP implementations: this repo's evals/map.py is cross-validated
-  against a clean-room COCO oracle and (where installed) pycocotools
-  (tests/test_map_oracle.py); the reference uses ultralytics DetMetrics.
-  Residual implementation skew is sub-point at matched inputs.
+  against a clean-room COCO oracle, a hand-derived exact golden fixture
+  (tests/test_map_golden.py — executes everywhere), and (where
+  installed) pycocotools (tests/test_map_oracle.py); the reference uses
+  ultralytics DetMetrics. Residual implementation skew is sub-point at
+  matched inputs.
 """
 
 DSEC_URLS = """\
